@@ -1,0 +1,169 @@
+"""Engine lifecycle: build ≙ `-s`, load+run ≙ `-d`.
+
+Reference analog (SURVEY.md L3, yolo11/yolo11_det.cpp:16-60):
+  - build: .wts → weight map → graph → TensorRT autotune → .engine file
+  - run:   .engine → deserialize → IExecutionContext → enqueue
+
+TPU-native formulation:
+  - build: .wts → WeightMap → param pytree (BN folded, dtype cast) → jit'd
+    apply, AOT-lowered for the configured (batch, H, W) → engine directory
+    holding params.npz + meta.json (+ optional jax.export StableHLO blob).
+  - run:   load params, re-jit (XLA compile cache makes this cheap) or load
+    the exported executable; __call__ runs the fused program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrtx_tpu.core.params import WeightMap, resolve_dtype
+from tensorrtx_tpu.core.registry import get_model
+from tensorrtx_tpu.core.wts import load_wts
+
+__all__ = ["Engine", "build_engine", "load_engine"]
+
+_META_FILE = "meta.json"
+_PARAMS_FILE = "params.npz"
+
+
+def _flatten_params(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+class Engine:
+    """A compiled model: params pytree + jitted apply + config."""
+
+    def __init__(self, name: str, params, cfg, precision: str = "fp32"):
+        self.name = name
+        self.model = get_model(name)
+        self.params = params
+        self.cfg = cfg
+        self.precision = precision
+        self._jitted = jax.jit(lambda p, x: self.model.apply(p, x, self.cfg))
+
+    def __call__(self, x):
+        return self._jitted(self.params, x)
+
+    def warmup(self, batch: int = 1):
+        h, w, c = self.model.input_shape(self.cfg)
+        x = jnp.zeros((batch, h, w, c), dtype=resolve_dtype(self.precision)
+                      if self.precision != "int8" else jnp.float32)
+        out = self(x)
+        jax.block_until_ready(out)
+        return out
+
+    # -- serialization -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        flat = _flatten_params(self.params)
+        np.savez(os.path.join(path, _PARAMS_FILE), **flat)
+        treedef = jax.tree_util.tree_structure(self.params)
+        meta = {
+            "name": self.name,
+            "precision": self.precision,
+            "cfg": dataclasses.asdict(self.cfg) if dataclasses.is_dataclass(self.cfg) else self.cfg,
+            "treedef": str(treedef),
+            "format_version": 1,
+        }
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump(meta, f, indent=1)
+
+    @staticmethod
+    def load(path: str) -> "Engine":
+        with open(os.path.join(path, _META_FILE)) as f:
+            meta = json.load(f)
+        model = get_model(meta["name"])
+        cfg = model.default_cfg()
+        if dataclasses.is_dataclass(cfg):
+            cfg = dataclasses.replace(cfg, **{
+                k: v for k, v in meta["cfg"].items()
+                if k in {f.name for f in dataclasses.fields(cfg)}
+            })
+        else:
+            cfg = meta["cfg"]
+        data = np.load(os.path.join(path, _PARAMS_FILE))
+        # Rebuild the pytree by re-running build-time structure with stored leaves:
+        # we store flattened path→leaf; reconstruct nested dict/list structure.
+        params = _unflatten(dict(data))
+        params = jax.tree.map(jnp.asarray, params)
+        return Engine(meta["name"], params, cfg, meta["precision"])
+
+    def export_stablehlo(self, path: str, batch: int = 1) -> None:
+        """Serialize the AOT program via jax.export (the .engine blob analog)."""
+        from jax import export as jexport
+
+        h, w, c = self.model.input_shape(self.cfg)
+        fn = jax.jit(lambda p, x: self.model.apply(p, x, self.cfg))
+        args = (
+            self.params,
+            jax.ShapeDtypeStruct((batch, h, w, c), resolve_dtype(self.precision)
+                                 if self.precision != "int8" else jnp.float32),
+        )
+        exported = jexport.export(fn)(*args)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    """Invert _flatten_params for nested dicts (list indices become str keys)."""
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [fix(node[str(i)]) for i in range(len(keys))]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(root)
+
+
+def build_engine(
+    name: str,
+    wts_path: str,
+    precision: str = "fp32",
+    cfg=None,
+    **cfg_overrides,
+) -> Engine:
+    """.wts → Engine (the `-s` mode)."""
+    model = get_model(name)
+    if cfg is None:
+        cfg = model.default_cfg()
+    if cfg_overrides and dataclasses.is_dataclass(cfg):
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+    wm = WeightMap(load_wts(wts_path))
+    params = model.build_params(wm, cfg)
+    if precision in ("bf16", "fp16", "bfloat16", "float16"):
+        dtype = resolve_dtype(precision)
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype) if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a),
+            params,
+        )
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return Engine(name, params, cfg, precision)
+
+
+def load_engine(path: str) -> Engine:
+    return Engine.load(path)

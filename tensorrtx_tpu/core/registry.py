@@ -1,0 +1,49 @@
+"""Model registry: name → ModelDef.
+
+The reference's "API" is one CLI binary per model; ours is one registry entry
+per model, all served by the same engine/runner (SURVEY.md §7). A ModelDef is
+pure data: a param-builder (WeightMap → pytree) and a jit-friendly apply fn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+__all__ = ["ModelDef", "register", "get_model", "list_models"]
+
+_REGISTRY: Dict[str, "ModelDef"] = {}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDef:
+    name: str
+    build_params: Callable[..., Any]          # (WeightMap, cfg) -> pytree
+    apply: Callable[..., Any]                 # (params, x, cfg) -> outputs
+    default_cfg: Callable[[], Any]            # () -> cfg dataclass/dict
+    input_shape: Callable[[Any], tuple]       # cfg -> (H, W, C)
+    postprocess: Optional[Callable[..., Any]] = None  # host-side finishing
+    doc: str = ""
+
+
+def register(model_def: ModelDef) -> ModelDef:
+    _REGISTRY[model_def.name] = model_def
+    return model_def
+
+
+def get_model(name: str) -> ModelDef:
+    # Import model modules lazily so `import tensorrtx_tpu` stays fast.
+    if name not in _REGISTRY:
+        from tensorrtx_tpu import models  # noqa: F401  (triggers registration)
+
+        models.load_all()
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_models():
+    from tensorrtx_tpu import models
+
+    models.load_all()
+    return sorted(_REGISTRY)

@@ -1,0 +1,46 @@
+"""Model catalog. Each module registers one or more ModelDefs on import."""
+
+import importlib
+
+# Modules that register models on import. Extend as the catalog grows.
+_MODULES = [
+    "lenet",
+    "mlp",
+    "alexnet",
+    "vgg",
+    "resnet",
+    "googlenet",
+    "squeezenet",
+    "mobilenet",
+    "shufflenetv2",
+    "mnasnet",
+    "senet",
+    "repvgg",
+    "densenet",
+    "inception",
+    "ghostnet",
+    "ibnnet",
+    "efficientnet",
+    "arcface",
+    "retinaface",
+    "unet",
+    "vit",
+    "detr",
+    "yolo11",
+    "yolov5",
+    "yolov8",
+]
+
+_loaded = False
+
+
+def load_all():
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        try:
+            importlib.import_module(f"tensorrtx_tpu.models.{mod}")
+        except ImportError:
+            pass  # model not implemented yet
+    _loaded = True

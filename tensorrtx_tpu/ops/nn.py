@@ -1,0 +1,256 @@
+"""Core NN ops, NHWC, functional, jit-friendly.
+
+This is the TPU analog of the reference's per-model block libraries
+(yolo11/src/block.cpp, resnet/resnet50.cpp) plus its activation plugins
+(mish.cu, prelu.cu, geluKernel.cu, LayerNormPlugin.cu): on TPU these are plain
+jnp expressions that XLA fuses into the surrounding convolutions, so no custom
+kernels are needed for elementwise work. Convolutions run in NHWC/HWIO, the
+layouts the TPU MXU prefers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+__all__ = [
+    "conv2d", "linear", "max_pool", "avg_pool", "global_avg_pool",
+    "upsample_nearest", "upsample_bilinear", "layer_norm", "group_norm",
+    "silu", "mish", "hardswish", "hardsigmoid", "prelu", "gelu_tanh",
+    "gelu_erf", "leaky_relu", "softmax", "dfl", "pixel_shuffle",
+]
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[str, int, Tuple[int, int]] = 0,
+    groups: int = 1,
+    dilation: Union[int, Tuple[int, int]] = 1,
+) -> Array:
+    """NHWC conv with HWIO weights; symmetric explicit padding like TRT's
+    setPaddingNd (pads both sides by p, unlike XLA 'SAME' for even kernels)."""
+    s = _pair(stride)
+    d = _pair(dilation)
+    if isinstance(padding, str):
+        pad = padding
+    else:
+        p = _pair(padding)
+        pad = [(p[0], p[0]), (p[1], p[1])]
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=s,
+        padding=pad,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv_transpose2d(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    stride: Union[int, Tuple[int, int]] = 2,
+    padding: Union[int, Tuple[int, int]] = 0,
+) -> Array:
+    """Transposed conv (torch ConvTranspose2d semantics), NHWC/HWIO.
+
+    ``w`` is HWIO with I = input channels of x, O = output channels
+    (i.e. torch's (in, out, kh, kw) transposed to (kh, kw, in, out)).
+    """
+    s = _pair(stride)
+    p = _pair(padding)
+    kh, kw = w.shape[0], w.shape[1]
+    out = lax.conv_transpose(
+        x,
+        w.astype(x.dtype),
+        strides=s,
+        padding=[(kh - 1 - p[0], kh - 1 - p[0]), (kw - 1 - p[1], kw - 1 - p[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def linear(x: Array, w: Array, b: Optional[Array] = None) -> Array:
+    """x @ w (+ b); w stored (in, out)."""
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def max_pool(x: Array, k, stride=None, padding=0) -> Array:
+    kh, kw = _pair(k)
+    s = _pair(stride if stride is not None else k)
+    p = _pair(padding)
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, neg, lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=[(0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)],
+    )
+
+
+def avg_pool(x: Array, k, stride=None, padding=0, count_include_pad: bool = True) -> Array:
+    kh, kw = _pair(k)
+    s = _pair(stride if stride is not None else k)
+    p = _pair(padding)
+    summed = lax.reduce_window(
+        x, jnp.array(0, x.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=[(0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)],
+    )
+    if count_include_pad or (p[0] == 0 and p[1] == 0):
+        return summed / jnp.array(kh * kw, x.dtype)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    counts = lax.reduce_window(
+        ones, jnp.array(0, x.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=[(0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)],
+    )
+    return summed / counts
+
+
+def global_avg_pool(x: Array, keepdims: bool = False) -> Array:
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def upsample_nearest(x: Array, scale: int = 2) -> Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def upsample_bilinear(x: Array, size: Tuple[int, int], align_corners: bool = False) -> Array:
+    """torch F.interpolate(mode='bilinear') semantics."""
+    b, h, w, c = x.shape
+    oh, ow = size
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if align_corners and oh > 1 and ow > 1:
+        ys = jnp.linspace(0.0, h - 1.0, oh)
+        xs = jnp.linspace(0.0, w - 1.0, ow)
+    else:
+        ys = (jnp.arange(oh) + 0.5) * (h / oh) - 0.5
+        xs = (jnp.arange(ow) + 0.5) * (w / ow) - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[None, :, None, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, None, :, None]
+    top = xf[:, y0][:, :, x0] * (1 - wx) + xf[:, y0][:, :, x1] * wx
+    bot = xf[:, y1][:, :, x0] * (1 - wx) + xf[:, y1][:, :, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(dtype)
+
+
+def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-6, axis: int = -1) -> Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axis, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def group_norm(x: Array, gamma: Array, beta: Array, groups: int, eps: float = 1e-5) -> Array:
+    """NHWC group norm (stats over H, W and channels within each group)."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+    y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    return (y * gamma + beta).astype(x.dtype)
+
+
+def instance_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
+    return group_norm(x, gamma, beta, groups=x.shape[-1], eps=eps)
+
+
+# -- activations (reference plugins: mish.cu, prelu.cu, geluKernel.cu) --------
+
+def silu(x: Array) -> Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def mish(x: Array) -> Array:
+    """x * tanh(softplus(x)) — scaled-yolov4/mish.cu:113-141."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def hardswish(x: Array) -> Array:
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def hardsigmoid(x: Array) -> Array:
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def prelu(x: Array, alpha: Array) -> Array:
+    """Channelwise PReLU — arcface/prelu.cu:118-139. alpha shape (C,)."""
+    return jnp.where(x > 0, x, x * alpha.astype(x.dtype))
+
+
+def gelu_tanh(x: Array) -> Array:
+    """tanh-approx GELU — yolov13/plugin/geluKernel.cu:42-84."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_erf(x: Array) -> Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x: Array, slope: float = 0.1) -> Array:
+    return jnp.where(x > 0, x, x * slope)
+
+
+softmax = jax.nn.softmax
+
+
+def dfl(box_logits: Array, reg_max: int = 16) -> Array:
+    """Distribution Focal Loss decode (yolo11/src/block.cpp:138-158 `DFL`).
+
+    box_logits: (..., 4*reg_max) → expectation over softmax bins → (..., 4).
+    The reference implements this as reshape→softmax→1x1 conv with fixed
+    0..reg_max-1 weights; here it is a fused softmax-weighted sum.
+    """
+    shape = box_logits.shape
+    x = box_logits.reshape(shape[:-1] + (4, reg_max)).astype(jnp.float32)
+    p = jax.nn.softmax(x, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.sum(p * bins, axis=-1)
+
+
+def pixel_shuffle(x: Array, r: int) -> Array:
+    """Depth-to-space, torch PixelShuffle channel order
+    (real-esrgan/general-x4v3/src/pixel_shuffle/pixel_shuffle.cu:6).
+
+    NHWC input with C = C_out * r * r, channel-major ordering as in torch
+    (c_out, r, r) over the NCHW channel dim.
+    """
+    b, h, w, c = x.shape
+    co = c // (r * r)
+    x = x.reshape(b, h, w, co, r, r)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))  # b, h, r, w, r, co
+    return x.reshape(b, h * r, w * r, co)
