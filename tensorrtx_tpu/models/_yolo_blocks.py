@@ -1,0 +1,241 @@
+"""Shared YOLO block library (ultralytics-family), params + NHWC apply fns.
+
+TPU re-design of the reference's per-model block builders
+(yolo11/src/block.cpp: convBnSiLU:74, bottleneck:96, SPPF:113, C3k:220,
+C3K2:239, Attention:293, PSABlock:357, C2PSA:380, DWConv; yolov8/src/block.cpp
+C2f). BN is folded into conv weights at build time; attention uses batched
+einsum on the MXU instead of per-head slice/shuffle/matmul layer chains.
+
+Weight names follow the ultralytics state_dict convention that every
+gen_wts.py in the reference dumps (e.g. ``model.2.cv1.conv.weight``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.ops import nn
+
+BN_EPS = 1e-3  # ultralytics BatchNorm2d eps (block.cpp:89 addBatchNorm2d 1e-3)
+
+
+def get_width(x: int, gw: float, max_channels: int, divisor: int = 8) -> int:
+    """Channel scaling (yolo11/src/model.cpp:9-13)."""
+    ch = min(x, max_channels)
+    return int(math.ceil(ch * gw / divisor)) * divisor
+
+
+def get_depth(x: int, gd: float) -> int:
+    """Depth scaling with round-half-to-even (yolo11/src/model.cpp:15-22)."""
+    if x == 1:
+        return 1
+    return max(int(round(x * gd)), 1)
+
+
+# ---------------------------------------------------------------------------
+# Conv = conv + (folded) BN + SiLU
+# ---------------------------------------------------------------------------
+
+def conv_p(wm, name: str, c1: int, c2: int, k: int = 1, groups: int = 1):
+    return wm.conv_bn(f"{name}.conv", f"{name}.bn", c2, c1, (k, k),
+                      groups=groups, eps=BN_EPS)
+
+
+def conv_a(p, x, stride: int = 1, k: int = None, groups: int = 1, act: bool = True):
+    kh = p["w"].shape[0]
+    y = nn.conv2d(x, p["w"], p["b"], stride=stride, padding=kh // 2, groups=groups)
+    return nn.silu(y) if act else y
+
+
+def dwconv_a(p, x, stride: int = 1, act: bool = True):
+    groups = p["w"].shape[3]  # depthwise: O == groups, I/g == 1
+    return conv_a(p, x, stride=stride, groups=groups, act=act)
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck / C3k / C3k2 / C2f
+# ---------------------------------------------------------------------------
+
+def bottleneck_p(wm, name, c1, c2, k1=3, k2=3, e=0.5):
+    c_ = int(c2 * e)
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, c_, k1),
+        "cv2": conv_p(wm, f"{name}.cv2", c_, c2, k2),
+    }
+
+
+def bottleneck_a(p, x, shortcut=True):
+    y = conv_a(p["cv1"], x)
+    y = conv_a(p["cv2"], y)
+    # residual only when channels match (c1 == c2), a static shape property
+    return x + y if (shortcut and x.shape[-1] == y.shape[-1]) else y
+
+
+def c3k_p(wm, name, c1, c2, n=2, e=0.5):
+    c_ = int(c2 * e)
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, c_),
+        "cv2": conv_p(wm, f"{name}.cv2", c1, c_),
+        "cv3": conv_p(wm, f"{name}.cv3", 2 * c_, c2),
+        "m": [bottleneck_p(wm, f"{name}.m.{i}", c_, c_, e=1.0) for i in range(n)],
+    }
+
+
+def c3k_a(p, x, shortcut=True):
+    y1 = conv_a(p["cv1"], x)
+    y2 = conv_a(p["cv2"], x)
+    for b in p["m"]:
+        y1 = bottleneck_a(b, y1, shortcut)
+    return conv_a(p["cv3"], jnp.concatenate([y1, y2], axis=-1))
+
+
+def c3k2_p(wm, name, c1, c2, n, c3k: bool, e=0.5):
+    c_ = int(c2 * e)
+    blocks = []
+    for i in range(n):
+        if c3k:
+            blocks.append(c3k_p(wm, f"{name}.m.{i}", c_, c_, n=2))
+        else:
+            blocks.append(bottleneck_p(wm, f"{name}.m.{i}", c_, c_, k1=3, k2=3, e=0.5))
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, 2 * c_),
+        "cv2": conv_p(wm, f"{name}.cv2", (2 + n) * c_, c2),
+        "m": blocks,
+    }
+
+
+def c3k2_a(p, x, shortcut=True):
+    y = conv_a(p["cv1"], x)
+    c_ = y.shape[-1] // 2
+    parts = [y[..., :c_], y[..., c_:]]
+    cur = parts[1]
+    for b in p["m"]:
+        # C3k blocks are distinguished structurally by their cv3 conv
+        cur = c3k_a(b, cur, shortcut) if "cv3" in b else bottleneck_a(b, cur, shortcut)
+        parts.append(cur)
+    return conv_a(p["cv2"], jnp.concatenate(parts, axis=-1))
+
+
+def c2f_p(wm, name, c1, c2, n, e=0.5):
+    """YOLOv8 C2f (yolov8/src/block.cpp) — same split/append pattern."""
+    c_ = int(c2 * e)
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, 2 * c_),
+        "cv2": conv_p(wm, f"{name}.cv2", (2 + n) * c_, c2),
+        "m": [bottleneck_p(wm, f"{name}.m.{i}", c_, c_, k1=3, k2=3, e=1.0)
+              for i in range(n)],
+    }
+
+
+def c2f_a(p, x, shortcut=True):
+    y = conv_a(p["cv1"], x)
+    c_ = y.shape[-1] // 2
+    parts = [y[..., :c_], y[..., c_:]]
+    cur = parts[1]
+    for b in p["m"]:
+        cur = bottleneck_a(b, cur, shortcut)
+        parts.append(cur)
+    return conv_a(p["cv2"], jnp.concatenate(parts, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# SPPF
+# ---------------------------------------------------------------------------
+
+def sppf_p(wm, name, c1, c2):
+    c_ = c1 // 2
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, c_),
+        "cv2": conv_p(wm, f"{name}.cv2", c_ * 4, c2),
+    }
+
+
+def sppf_a(p, x, k: int = 5):
+    y = conv_a(p["cv1"], x)
+    p1 = nn.max_pool(y, k, 1, k // 2)
+    p2 = nn.max_pool(p1, k, 1, k // 2)
+    p3 = nn.max_pool(p2, k, 1, k // 2)
+    return conv_a(p["cv2"], jnp.concatenate([y, p1, p2, p3], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# C2PSA attention stack
+# ---------------------------------------------------------------------------
+
+def attention_p(wm, name, dim, num_heads, attn_ratio=0.5):
+    head_dim = dim // num_heads
+    key_dim = int(head_dim * attn_ratio)
+    h = dim + key_dim * num_heads * 2
+    return {
+        "qkv": conv_p(wm, f"{name}.qkv", dim, h),
+        "pe": conv_p(wm, f"{name}.pe", dim, dim, k=3, groups=dim),
+        "proj": conv_p(wm, f"{name}.proj", dim, dim),
+    }
+
+
+def attention_a(p, x, attn_ratio=0.5):
+    """Multi-head self-attention over the spatial grid (block.cpp:295-355),
+    as batched einsum → softmax → einsum on the MXU.
+
+    Head geometry is derived from static weight shapes (C2PSA always uses
+    num_heads = dim//64, attn_ratio = 0.5), keeping the params pytree
+    arrays-only."""
+    b, hgt, wid, dim = x.shape
+    nh = max(dim // 64, 1)
+    hd = dim // nh
+    kd = int(hd * attn_ratio)
+    n = hgt * wid
+    qkv = conv_a(p["qkv"], x, act=False).reshape(b, n, nh, 2 * kd + hd)
+    q = qkv[..., :kd]
+    k = qkv[..., kd:2 * kd]
+    v = qkv[..., 2 * kd:]
+    scale = kd ** -0.5
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, hgt, wid, nh * hd)
+    v_sp = v.reshape(b, hgt, wid, nh * hd)
+    out = out + dwconv_a(p["pe"], v_sp, act=False)
+    return conv_a(p["proj"], out, act=False)
+
+
+def psablock_p(wm, name, dim, attn_ratio=0.5, num_heads=None):
+    if num_heads is None:
+        num_heads = dim // 64
+    return {
+        "attn": attention_p(wm, f"{name}.attn", dim, num_heads, attn_ratio),
+        "ffn0": conv_p(wm, f"{name}.ffn.0", dim, dim * 2),
+        "ffn1": conv_p(wm, f"{name}.ffn.1", dim * 2, dim),
+    }
+
+
+def psablock_a(p, x, shortcut=True):
+    y = attention_a(p["attn"], x)
+    x = x + y if shortcut else y
+    f = conv_a(p["ffn0"], x)
+    f = conv_a(p["ffn1"], f, act=False)
+    return x + f if shortcut else f
+
+
+def c2psa_p(wm, name, c1, c2, n, e=0.5):
+    c = int(c1 * e)
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, 2 * c),
+        "cv2": conv_p(wm, f"{name}.cv2", 2 * c, c2),
+        "m": [psablock_p(wm, f"{name}.m.{i}", c) for i in range(n)],
+    }
+
+
+def c2psa_a(p, x):
+    y = conv_a(p["cv1"], x)
+    c = y.shape[-1] // 2
+    a, bpart = y[..., :c], y[..., c:]
+    for blk in p["m"]:
+        bpart = psablock_a(blk, bpart, shortcut=True)
+    return conv_a(p["cv2"], jnp.concatenate([a, bpart], axis=-1))

@@ -1,0 +1,353 @@
+"""YOLO11 (det/seg/pose/obb/cls) — the flagship model.
+
+Reference: yolo11/src/model.cpp (buildEngineYolo11Cls:33, Det:138, Seg:509,
+Pose:801, Obb:1092), yolo11/src/block.cpp, yolo11/plugin/yololayer.cu.
+
+TPU-first design: one jitted program takes the letterboxed image batch and
+returns a fixed-size detection buffer — backbone, neck, heads, DFL, decode,
+top-k and NMS all fuse into a single XLA executable. No host round-trips
+between "enqueue" and postprocess like the reference's CUDA pipeline.
+
+Scale multipliers (yolo11_det.cpp:115-160):
+  n: gd=.50 gw=.25 maxc=1024 | s: .50/.50/1024 | m: .50/1.0/512
+  l: 1.0/1.0/512 | x: 1.0/1.5/512
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.models import _yolo_blocks as B
+from tensorrtx_tpu.ops import detect as D
+from tensorrtx_tpu.ops import nn
+from tensorrtx_tpu.ops.nms import select_and_nms
+
+SCALES = {
+    "n": (0.50, 0.25, 1024),
+    "s": (0.50, 0.50, 1024),
+    "m": (0.50, 1.00, 512),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.50, 512),
+}
+
+
+@dataclasses.dataclass
+class Yolo11Cfg:
+    scale: str = "n"
+    task: str = "det"            # det | seg | pose | obb | cls
+    num_classes: int = 80        # kNumClass (pose: 1, obb: 15, cls: 1000)
+    input_h: int = 640           # obb: 1024; cls: 224
+    input_w: int = 640
+    conf_thresh: float = 0.5     # kConfThresh
+    nms_thresh: float = 0.45     # kNmsThresh
+    max_det: int = 300           # NMS buffer slots (reference kMaxNumOutputBbox=1000)
+    kpt_conf_thresh: float = 0.5  # kConfThreshKeypoints
+    num_kpts: int = 17
+    reg_max: int = 16
+    postprocess: str = "nms"     # "nms" | "raw" (raw = per-anchor decode inputs)
+
+    @property
+    def multipliers(self):
+        return SCALES[self.scale]
+
+
+def _chans(cfg: Yolo11Cfg):
+    gd, gw, maxc = cfg.multipliers
+    w = lambda x: B.get_width(x, gw, maxc)
+    d = lambda x: B.get_depth(x, gd)
+    return w, d
+
+
+# ---------------------------------------------------------------------------
+# backbone + neck (shared by all tasks; model indices 0..22)
+# ---------------------------------------------------------------------------
+
+def _backbone_p(wm, cfg: Yolo11Cfg):
+    w, d = _chans(cfg)
+    c3k = cfg.scale in ("m", "l", "x")
+    p = {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c3k2_p(wm, "model.2", w(128), w(256), d(2), c3k, e=0.25),
+        "m3": B.conv_p(wm, "model.3", w(256), w(256), 3),
+        "m4": B.c3k2_p(wm, "model.4", w(256), w(512), d(2), c3k, e=0.25),
+        "m5": B.conv_p(wm, "model.5", w(512), w(512), 3),
+        "m6": B.c3k2_p(wm, "model.6", w(512), w(512), d(2), True, e=0.5),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c3k2_p(wm, "model.8", w(1024), w(1024), d(2), True, e=0.5),
+    }
+    return p
+
+
+def _backbone_a(p, x):
+    x = B.conv_a(p["m0"], x, stride=2)
+    x = B.conv_a(p["m1"], x, stride=2)
+    x = B.c3k2_a(p["m2"], x)
+    x = B.conv_a(p["m3"], x, stride=2)
+    c4 = B.c3k2_a(p["m4"], x)
+    x = B.conv_a(p["m5"], c4, stride=2)
+    c6 = B.c3k2_a(p["m6"], x)
+    x = B.conv_a(p["m7"], c6, stride=2)
+    x = B.c3k2_a(p["m8"], x)
+    return x, c4, c6
+
+
+def _neck_p(wm, cfg: Yolo11Cfg):
+    w, d = _chans(cfg)
+    c3k = cfg.scale in ("m", "l", "x")
+    return {
+        "m9": B.sppf_p(wm, "model.9", w(1024), w(1024)),
+        "m10": B.c2psa_p(wm, "model.10", w(1024), w(1024), d(2)),
+        "m13": B.c3k2_p(wm, "model.13", w(1024) + w(512), w(512), d(2), c3k, e=0.5),
+        "m16": B.c3k2_p(wm, "model.16", w(512) + w(512), w(256), d(2), c3k, e=0.5),
+        "m17": B.conv_p(wm, "model.17", w(256), w(256), 3),
+        "m19": B.c3k2_p(wm, "model.19", w(256) + w(512), w(512), d(2), c3k, e=0.5),
+        "m20": B.conv_p(wm, "model.20", w(512), w(512), 3),
+        "m22": B.c3k2_p(wm, "model.22", w(512) + w(1024), w(1024), d(2), True, e=0.5),
+    }
+
+
+def _neck_a(p, x, c4, c6):
+    x = B.sppf_a(p["m9"], x)
+    p5_in = B.c2psa_a(p["m10"], x)
+    u = nn.upsample_nearest(p5_in)
+    x = B.c3k2_a(p["m13"], jnp.concatenate([u, c6], axis=-1))
+    p4_mid = x
+    u = nn.upsample_nearest(x)
+    p3 = B.c3k2_a(p["m16"], jnp.concatenate([u, c4], axis=-1))
+    x = B.conv_a(p["m17"], p3, stride=2)
+    p4 = B.c3k2_a(p["m19"], jnp.concatenate([x, p4_mid], axis=-1))
+    x = B.conv_a(p["m20"], p4, stride=2)
+    p5 = B.c3k2_a(p["m22"], jnp.concatenate([x, p5_in], axis=-1))
+    return p3, p4, p5
+
+
+# ---------------------------------------------------------------------------
+# detect head (model.23 for det; seg/pose/obb add cv4/proto)
+# ---------------------------------------------------------------------------
+
+def _det_head_p(wm, cfg: Yolo11Cfg, head: str, nc: int):
+    w, _ = _chans(cfg)
+    chans = [w(256), w(512), w(1024)]
+    c2 = max(16, w(256) // 4, cfg.reg_max * 4)
+    c3 = max(w(256), min(nc, 100))
+    p: Dict = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(chans):
+        p["cv2"].append({
+            "a": B.conv_p(wm, f"{head}.cv2.{i}.0", ci, c2, 3),
+            "b": B.conv_p(wm, f"{head}.cv2.{i}.1", c2, c2, 3),
+            "c": wm.conv2d(f"{head}.cv2.{i}.2", cfg.reg_max * 4, c2, (1, 1)),
+        })
+        p["cv3"].append({
+            "a0": B.conv_p(wm, f"{head}.cv3.{i}.0.0", ci, ci, 3, groups=ci),
+            "a1": B.conv_p(wm, f"{head}.cv3.{i}.0.1", ci, c3, 1),
+            "b0": B.conv_p(wm, f"{head}.cv3.{i}.1.0", c3, c3, 3, groups=c3),
+            "b1": B.conv_p(wm, f"{head}.cv3.{i}.1.1", c3, c3, 1),
+            "c": wm.conv2d(f"{head}.cv3.{i}.2", nc, c3, (1, 1)),
+        })
+    return p
+
+
+def _det_head_a(p, feats, reg_max: int):
+    """Per level: cv2 → (B,h,w,4*reg_max) box dist logits; cv3 → class logits."""
+    boxes, clss = [], []
+    for i, f in enumerate(feats):
+        q = p["cv2"][i]
+        y = B.conv_a(q["a"], f)
+        y = B.conv_a(q["b"], y)
+        y = nn.conv2d(y, q["c"]["w"], q["c"]["b"])
+        boxes.append(y)
+        r = p["cv3"][i]
+        z = B.dwconv_a(r["a0"], f)
+        z = B.conv_a(r["a1"], z)
+        z = B.dwconv_a(r["b0"], z)
+        z = B.conv_a(r["b1"], z)
+        z = nn.conv2d(z, r["c"]["w"], r["c"]["b"])
+        clss.append(z)
+    return boxes, clss
+
+
+def _flatten_levels(levels: List[jax.Array]) -> jax.Array:
+    """[(B,h,w,C)] → (B, ΣN, C), level-major row-major like the plugin."""
+    b = levels[0].shape[0]
+    return jnp.concatenate([lv.reshape(b, -1, lv.shape[-1]) for lv in levels], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# full models
+# ---------------------------------------------------------------------------
+
+def build_params(wm, cfg: Yolo11Cfg):
+    if cfg.task == "cls":
+        return _build_cls_params(wm, cfg)
+    p = {
+        "backbone": _backbone_p(wm, cfg),
+        "neck": _neck_p(wm, cfg),
+    }
+    nc = cfg.num_classes
+    p["head"] = _det_head_p(wm, cfg, "model.23", nc)
+    w, _ = _chans(cfg)
+    if cfg.task == "seg":
+        c4ch = max(w(256) // 4, 32)
+        p["cv4"] = _extra_branch_p(wm, cfg, "model.23.cv4", c4ch, 32)
+        p["proto"] = _proto_p(wm, cfg)
+    elif cfg.task == "pose":
+        kpt_ch = cfg.num_kpts * 3
+        c4ch = max(w(256) // 4, kpt_ch)
+        p["cv4"] = _extra_branch_p(wm, cfg, "model.23.cv4", c4ch, kpt_ch)
+    elif cfg.task == "obb":
+        c4ch = max(w(256) // 4, 1)
+        p["cv4"] = _extra_branch_p(wm, cfg, "model.23.cv4", c4ch, 1)
+    return p
+
+
+def _extra_branch_p(wm, cfg, name, cmid, cout):
+    """seg mask-coeff / pose kpt / obb angle branch: Conv3x3, Conv3x3, 1x1."""
+    w, _ = _chans(cfg)
+    chans = [w(256), w(512), w(1024)]
+    out = []
+    for i, ci in enumerate(chans):
+        out.append({
+            "a": B.conv_p(wm, f"{name}.{i}.0", ci, cmid, 3),
+            "b": B.conv_p(wm, f"{name}.{i}.1", cmid, cmid, 3),
+            "c": wm.conv2d(f"{name}.{i}.2", cout, cmid, (1, 1)),
+        })
+    return out
+
+
+def _extra_branch_a(p, feats):
+    outs = []
+    for i, f in enumerate(feats):
+        y = B.conv_a(p[i]["a"], f)
+        y = B.conv_a(p[i]["b"], y)
+        y = nn.conv2d(y, p[i]["c"]["w"], p[i]["c"]["b"])
+        outs.append(y)
+    return outs
+
+
+def _proto_p(wm, cfg):
+    w, _ = _chans(cfg)
+    c_ = max(w(256) // 4, 32)
+    # upsample is ConvTranspose2d(c_, c_, 2, 2): torch weight (in, out, 2, 2)
+    up_w = wm.tensor("model.23.proto.upsample.weight", (c_, c_, 2, 2))
+    import numpy as _np
+
+    return {
+        "cv1": B.conv_p(wm, "model.23.proto.cv1", w(256), c_, 3),
+        "up_w": _np.transpose(up_w, (2, 3, 0, 1)),  # HWIO (I=in, O=out)
+        "up_b": wm.vec("model.23.proto.upsample.bias", c_),
+        "cv2": B.conv_p(wm, "model.23.proto.cv2", c_, c_, 3),
+        "cv3": B.conv_p(wm, "model.23.proto.cv3", c_, 32, 1),
+    }
+
+
+def _proto_a(p, x):
+    y = B.conv_a(p["cv1"], x)
+    y = nn.conv_transpose2d(y, p["up_w"], p["up_b"], stride=2)
+    y = nn.silu(y)
+    y = B.conv_a(p["cv2"], y)
+    return B.conv_a(p["cv3"], y)
+
+
+def apply(params, x, cfg: Yolo11Cfg):
+    if cfg.task == "cls":
+        return _apply_cls(params, x, cfg)
+    feats3 = _backbone_a(params["backbone"], x)
+    p3, p4, p5 = _neck_a(params["neck"], *feats3)
+    feats = [p3, p4, p5]
+    box_lv, cls_lv = _det_head_a(params["head"], feats, cfg.reg_max)
+    box_dist = _flatten_levels(box_lv)            # (B, N, 64)
+    cls_logits = _flatten_levels(cls_lv)          # (B, N, nc)
+
+    strides = (8, 16, 32)
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w, strides)
+    ltrb = nn.dfl(box_dist, cfg.reg_max)          # (B, N, 4) float32
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    conf = jnp.max(probs, axis=-1)
+    cls_id = jnp.argmax(probs, axis=-1).astype(jnp.float32)
+
+    extras = None
+    if cfg.task == "obb":
+        ang_raw = _flatten_levels(_extra_branch_a(params["cv4"], feats))[..., 0]
+        cx, cy, w_, h_, ang = D.decode_obb(ltrb, ang_raw.astype(jnp.float32),
+                                           points, strides_flat)
+        boxes = jnp.stack([cx, cy, w_, h_], axis=-1)
+        extras = ang[..., None]
+    else:
+        boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+        if cfg.task == "pose":
+            kpt_raw = _flatten_levels(_extra_branch_a(params["cv4"], feats))
+            extras = D.decode_pose(kpt_raw.astype(jnp.float32), points,
+                                   strides_flat, boxes, cfg.kpt_conf_thresh)
+        elif cfg.task == "seg":
+            extras = _flatten_levels(_extra_branch_a(params["cv4"], feats))
+            extras = extras.astype(jnp.float32)
+
+    if cfg.postprocess == "raw":
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        if cfg.task == "seg":
+            out["proto"] = _proto_a(params["proto"], feats[0])
+        return out
+
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
+                          cfg.max_det, extras=extras, obb=(cfg.task == "obb"))
+    if cfg.task == "seg":
+        proto = _proto_a(params["proto"], feats[0])   # (B, H/4, W/4, 32)
+        # mask = sigmoid(proto · coeffs) for each kept det (yolo11_seg.cpp:36-60)
+        masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
+                                          proto.astype(jnp.float32),
+                                          dets.extras))
+        return dets._asdict() | {"masks": masks}
+    return dets._asdict()
+
+
+# ---------------------------------------------------------------------------
+# classification variant (buildEngineYolo11Cls, model.cpp:33-137)
+# ---------------------------------------------------------------------------
+
+def _build_cls_params(wm, cfg: Yolo11Cfg):
+    """Cls graph = backbone 0..8, C2PSA at model.9, Classify head at model.10
+    (conv1x1→1280, global avg pool, linear; raw logits out) —
+    model.cpp:33-137."""
+    p = {"backbone": _backbone_p(wm, cfg)}
+    w, d = _chans(cfg)
+    p["cls_head"] = {
+        "m9": B.c2psa_p(wm, "model.9", w(1024), w(1024), d(2)),
+        "m10_conv": B.conv_p(wm, "model.10.conv", w(1024), 1280, 1),
+        "m10_linear": wm.linear("model.10.linear", cfg.num_classes, 1280),
+    }
+    return p
+
+
+def _apply_cls(params, x, cfg: Yolo11Cfg):
+    feats, _, _ = _backbone_a(params["backbone"], x)
+    n = params["cls_head"]
+    y = B.c2psa_a(n["m9"], feats)
+    y = B.conv_a(n["m10_conv"], y)
+    y = nn.global_avg_pool(y)
+    return nn.linear(y, n["m10_linear"]["w"], n["m10_linear"]["b"])
+
+
+def _default_cfg():
+    return Yolo11Cfg()
+
+
+def _input_shape(cfg: Yolo11Cfg):
+    return (cfg.input_h, cfg.input_w, 3)
+
+
+register(ModelDef(
+    name="yolo11",
+    build_params=build_params,
+    apply=apply,
+    default_cfg=_default_cfg,
+    input_shape=_input_shape,
+    doc="YOLO11 det/seg/pose/obb/cls (reference: yolo11/)",
+))

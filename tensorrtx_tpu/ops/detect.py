@@ -1,0 +1,128 @@
+"""Detection decode — TPU reformulation of the YoloLayer plugins.
+
+Reference semantics (yolo11/plugin/yololayer.cu:177-319 `CalDetection`):
+per grid cell, sigmoid class logits → max prob + class id, drop cells with
+max prob < 0.1, box corners from DFL-decoded ltrb distances:
+    x1 = (col + 0.5 - l) * stride,  x2 = (col + 0.5 + r) * stride  (etc.)
+pose keypoints: (v*2 + col) * stride with confidence/inside-box gating;
+obb: angle = (sigmoid(a) - 0.25) * pi, box rotated about the cell center.
+
+The CUDA kernel appends survivors to a [count, Detection...] buffer with
+atomicAdd; on TPU we keep everything dense and defer selection to a
+deterministic top-k (ops/nms.py), which XLA fuses into the same program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.ops.nn import dfl
+
+Array = jax.Array
+
+__all__ = [
+    "make_anchor_grid", "decode_boxes_ltrb", "decode_pose", "decode_obb",
+    "anchor_yolo_decode",
+]
+
+
+def make_anchor_grid(input_h: int, input_w: int, strides: Sequence[int]):
+    """Flattened per-cell (cx, cy) in grid units and stride per anchor point.
+
+    Order matches the reference's level-major, row-major layout.
+    Returns (points (N,2) float32, strides_flat (N,) float32).
+    """
+    pts = []
+    sts = []
+    for s in strides:
+        gh, gw = input_h // s, input_w // s
+        ys, xs = jnp.meshgrid(jnp.arange(gh, dtype=jnp.float32),
+                              jnp.arange(gw, dtype=jnp.float32), indexing="ij")
+        p = jnp.stack([xs + 0.5, ys + 0.5], axis=-1).reshape(-1, 2)
+        pts.append(p)
+        sts.append(jnp.full((gh * gw,), float(s), jnp.float32))
+    return jnp.concatenate(pts, 0), jnp.concatenate(sts, 0)
+
+
+def decode_boxes_ltrb(ltrb: Array, points: Array, strides_flat: Array) -> Array:
+    """(B,N,4) DFL distances + anchor points → xyxy boxes in input pixels."""
+    cx = points[None, :, 0]
+    cy = points[None, :, 1]
+    s = strides_flat[None, :]
+    x1 = (cx - ltrb[..., 0]) * s
+    y1 = (cy - ltrb[..., 1]) * s
+    x2 = (cx + ltrb[..., 2]) * s
+    y2 = (cy + ltrb[..., 3]) * s
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def decode_pose(kpt_raw: Array, points: Array, strides_flat: Array,
+                boxes_xyxy: Array, conf_thresh: float) -> Array:
+    """(B,N,3K) raw keypoints → decoded (B,N,3K) with the reference's gating:
+    kpt = (v*2 + cell)*stride; set x,y,conf = -1 when conf < thresh or the
+    keypoint falls outside its own box (yololayer.cu:231-256)."""
+    b, n, ck = kpt_raw.shape
+    k = ck // 3
+    kr = kpt_raw.reshape(b, n, k, 3)
+    cx = points[None, :, None, 0]
+    cy = points[None, :, None, 1]
+    s = strides_flat[None, :, None]
+    x = (kr[..., 0] * 2.0 + (cx - 0.5)) * s
+    y = (kr[..., 1] * 2.0 + (cy - 0.5)) * s
+    conf = jax.nn.sigmoid(kr[..., 2])
+    inside = ((x >= boxes_xyxy[..., None, 0]) & (x <= boxes_xyxy[..., None, 2])
+              & (y >= boxes_xyxy[..., None, 1]) & (y <= boxes_xyxy[..., None, 3]))
+    ok = (conf >= conf_thresh) & inside
+    x = jnp.where(ok, x, -1.0)
+    y = jnp.where(ok, y, -1.0)
+    conf = jnp.where(ok, conf, -1.0)
+    return jnp.stack([x, y, conf], axis=-1).reshape(b, n, ck)
+
+
+def decode_obb(ltrb: Array, angle_raw: Array, points: Array, strides_flat: Array):
+    """OBB decode (yololayer.cu:258-283): angle=(sigmoid(a)-0.25)*pi; center
+    offset rotated; returns (cx, cy, w, h, angle) each (B,N)."""
+    ang = (jax.nn.sigmoid(angle_raw) - 0.25) * math.pi
+    xf = (ltrb[..., 2] - ltrb[..., 0]) * 0.5
+    yf = (ltrb[..., 3] - ltrb[..., 1]) * 0.5
+    c, s_ = jnp.cos(ang), jnp.sin(ang)
+    xr = xf * c - yf * s_
+    yr = xf * s_ + yf * c
+    st = strides_flat[None, :]
+    cx = (points[None, :, 0] + xr) * st
+    cy = (points[None, :, 1] + yr) * st
+    w = (ltrb[..., 0] + ltrb[..., 2]) * st
+    h = (ltrb[..., 1] + ltrb[..., 3]) * st
+    return cx, cy, w, h, ang
+
+
+def anchor_yolo_decode(
+    preds: Array,
+    anchors: Array,
+    points: Array,
+    strides_flat: Array,
+    anchor_idx: Array,
+    nc: int,
+) -> Tuple[Array, Array]:
+    """Anchor-based YOLO decode (yolov5/plugin/yololayer.cu:161-226 family).
+
+    preds: (B, N, 5+nc) raw per-(cell,anchor) predictions flattened
+    level-major; anchors (N,2) anchor w,h in pixels for each row.
+    Returns (boxes_xyxy (B,N,4), scores (B,N,nc)) where score =
+    sigmoid(obj) * sigmoid(cls) and boxes use the v5 power decode:
+      xy = (2*sig(t)-0.5 + cell) * stride;  wh = (2*sig(t))^2 * anchor.
+    """
+    del anchor_idx
+    p = preds
+    xy = (jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5 + (points - 0.5)[None]) * strides_flat[None, :, None]
+    wh = jnp.square(jax.nn.sigmoid(p[..., 2:4]) * 2.0) * anchors[None]
+    obj = jax.nn.sigmoid(p[..., 4:5])
+    cls = jax.nn.sigmoid(p[..., 5:5 + nc])
+    scores = obj * cls
+    x1y1 = xy - wh * 0.5
+    x2y2 = xy + wh * 0.5
+    return jnp.concatenate([x1y1, x2y2], axis=-1), scores
