@@ -1,0 +1,72 @@
+"""Benchmark: YOLO11n 640×640 end-to-end images/sec/chip (BASELINE.json).
+
+Measures the fused serving pipeline (uint8 frames → letterbox → network →
+decode → top-k → NMS → fixed detection buffer), batch 1 and 32.
+
+Two numbers per batch:
+  - steady-state throughput (marginal ms/iter with the device queue kept
+    full — what a chip sustains serving a request stream),
+  - per-call p50 latency including a host fetch (this environment reaches
+    the chip through a network relay, so per-call latency has a ~30 ms
+    constant that is relay RTT, not TPU time).
+
+Prints ONE JSON line. vs_baseline compares batch-1 steady-state throughput
+against an estimated TensorRT-on-A100 YOLO11n end-to-end figure (~1050
+img/s; the reference publishes no A100 number — see BASELINE.md).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+TRT_A100_YOLO11N_E2E_IPS = 1050.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_yolo11
+    from tensorrtx_tpu.core.runner import ServingPipeline, bench_loop, bench_marginal
+
+    eng = _build_yolo11(scale="n", h=640, w=640, precision="bf16", max_det=300)
+    results = {}
+    for batch in (1, 32):
+        pipe = ServingPipeline(eng, src_h=640, src_w=640, donate=False)
+        src_hw = jnp.asarray(np.tile([[640, 640]], (batch, 1)), jnp.int32)
+        rng = np.random.default_rng(0)
+        bufs = [jax.device_put(jnp.asarray(
+            rng.integers(0, 255, (batch, 640, 640, 3), np.uint8)))
+            for _ in range(8)]
+        args = [(pipe._params, b, src_hw) for b in bufs]
+        fn = pipe._jitted
+        marg = bench_marginal(fn, args,
+                              n_small=10 if batch == 32 else 20,
+                              n_large=40 if batch == 32 else 120)
+        lat = bench_loop(fn, args, iters=10 if batch == 32 else 20, warmup=3)
+        ips = batch / (marg["iter_ms"] / 1e3)
+        results[batch] = {"iter_ms": marg["iter_ms"], "ips": ips,
+                          "call_p50_ms": lat["p50_ms"]}
+        print(f"# batch={batch}: {marg['iter_ms']:.3f} ms/iter steady-state "
+              f"({ips:.1f} img/s), per-call p50 {lat['p50_ms']:.1f} ms",
+              file=sys.stderr)
+
+    ips1 = results[1]["ips"]
+    print(json.dumps({
+        "metric": "yolo11n 640x640 e2e (preprocess+infer+decode+NMS) images/sec/chip, batch1 steady-state",
+        "value": round(ips1, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips1 / TRT_A100_YOLO11N_E2E_IPS, 3),
+        "extra": {
+            "batch1_iter_ms": round(results[1]["iter_ms"], 3),
+            "batch1_call_p50_ms_via_relay": round(results[1]["call_p50_ms"], 1),
+            "batch32_ips": round(results[32]["ips"], 1),
+            "batch32_iter_ms": round(results[32]["iter_ms"], 3),
+            "baseline": "TRT-A100 yolo11n e2e est. 1050 img/s (no in-repo number; BASELINE.md)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

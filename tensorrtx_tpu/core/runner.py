@@ -1,0 +1,167 @@
+"""Serving runner — the L4 inference driver loop, TPU-style.
+
+The reference's loop (yolo11/yolo11_det.cpp:218-252) is:
+  imread → pinned-host staging → H2D → preprocess kernel → enqueueV2 →
+  decode/NMS kernels → D2H → CPU finishing.
+
+Here the entire device side is ONE jitted XLA program
+(letterbox → network → decode → top-k → NMS): the host hands over raw uint8
+frames and receives a fixed-size detection buffer. Host work is only image
+decode (PIL) and box-to-original-image rescaling.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrtx_tpu.core.engine import Engine
+from tensorrtx_tpu.ops.preprocess import letterbox_batch, scale_boxes_back
+
+__all__ = ["ServingPipeline", "load_image", "read_files_in_dir"]
+
+
+def _param_dtype(params):
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
+class ServingPipeline:
+    """uint8 frames → detections, fully fused on device.
+
+    Frames share one static source bucket (src_h, src_w); images smaller than
+    the bucket sit in the top-left corner with their true (h, w) passed as
+    data — one compiled program serves every image that fits (the TPU answer
+    to TensorRT optimization profiles).
+    """
+
+    def __init__(self, engine: Engine, src_h: int, src_w: int,
+                 bgr_to_rgb: bool = False, donate: bool = True):
+        self.engine = engine
+        self.src_h, self.src_w = src_h, src_w
+        cfg = engine.cfg
+        dst_h, dst_w = cfg.input_h, cfg.input_w
+        model = engine.model
+        dtype = _param_dtype(engine.params)
+
+        def fused(params, frames, src_hw):
+            x = letterbox_batch(frames, src_hw, dst_h, dst_w,
+                                bgr_to_rgb=bgr_to_rgb)
+            x = x.astype(dtype)
+            return model.apply(params, x, cfg)
+
+        self._jitted = jax.jit(fused, donate_argnums=(1,) if donate else ())
+        self._params = engine.params
+
+    def __call__(self, frames: np.ndarray, src_hw: Optional[np.ndarray] = None):
+        if src_hw is None:
+            b = frames.shape[0]
+            src_hw = np.tile([[frames.shape[1], frames.shape[2]]], (b, 1))
+        return self._jitted(self._params, jnp.asarray(frames, jnp.uint8),
+                            jnp.asarray(src_hw, jnp.int32))
+
+    def warmup(self, batch: int = 1):
+        frames = np.zeros((batch, self.src_h, self.src_w, 3), np.uint8)
+        out = self(frames)
+        jax.block_until_ready(out)
+        return out
+
+    def detect_images(self, images: Sequence[np.ndarray]):
+        """Convenience host API: list of HWC uint8 images (any size ≤ bucket)
+        → per-image detections mapped back to original pixel coords."""
+        b = len(images)
+        frames = np.zeros((b, self.src_h, self.src_w, 3), np.uint8)
+        src_hw = np.zeros((b, 2), np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            frames[i, :h, :w] = im
+            src_hw[i] = (h, w)
+        out = self(frames, src_hw)
+        results = []
+        cfg = self.engine.cfg
+        boxes = np.asarray(out["boxes"]) if isinstance(out, dict) else np.asarray(out.boxes)
+        d = out if isinstance(out, dict) else out._asdict()
+        for i in range(b):
+            n = int(d["count"][i])
+            bx = np.asarray(scale_boxes_back(
+                jnp.asarray(d["boxes"][i][:n]), src_hw[i, 0], src_hw[i, 1],
+                cfg.input_h, cfg.input_w))
+            results.append({
+                "boxes": bx,
+                "scores": np.asarray(d["scores"][i][:n]),
+                "classes": np.asarray(d["classes"][i][:n]),
+            })
+        return results
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def read_files_in_dir(path: str, exts=(".jpg", ".jpeg", ".png", ".bmp", ".pgm", ".ppm")):
+    """Reference utils.h read_files_in_dir analog."""
+    import os
+
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.lower().endswith(exts))
+
+
+def _force(out):
+    """Truly materialize a result: fetch a (tiny) leaf to host.
+
+    jax.block_until_ready can return early through remote-execution relays,
+    so timing must anchor on an actual D2H fetch.
+    """
+    leaf = jax.tree.leaves(out)[-1]
+    np.asarray(leaf[..., :1] if leaf.ndim else leaf)
+
+
+def bench_loop(fn, args_list, iters: int = 100, warmup: int = 5) -> dict:
+    """Per-call latency: each call is fetched before the next starts
+    (reference convention: wall-clock around enqueue + D2H,
+    yolo11_det.cpp:91-109; warmup excluded)."""
+    for i in range(warmup):
+        _force(fn(*args_list[i % len(args_list)]))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        _force(fn(*args_list[i % len(args_list)]))
+        times.append(time.perf_counter() - t0)
+    t = np.array(times)
+    return {
+        "mean_ms": float(t.mean() * 1e3),
+        "p50_ms": float(np.percentile(t, 50) * 1e3),
+        "p99_ms": float(np.percentile(t, 99) * 1e3),
+    }
+
+
+def bench_marginal(fn, args_list, n_small: int = 20, n_large: int = 120) -> dict:
+    """Steady-state device throughput: queue N executions (distinct input
+    buffers), force one final fetch, and take the marginal time per extra
+    iteration between two queue depths — cancels the fixed host/relay
+    round-trip so the number reflects what the chip sustains while serving
+    a request stream."""
+    _force(fn(*args_list[0]))  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = fn(*args_list[i % len(args_list)])
+        _force(out)
+        return time.perf_counter() - t0
+
+    run(n_small)  # warm the queue path
+    t_small = run(n_small)
+    t_large = run(n_large)
+    per_iter = (t_large - t_small) / (n_large - n_small)
+    return {"iter_ms": per_iter * 1e3}

@@ -1,0 +1,97 @@
+"""Multi-chip serving: DP × TP sharding over a jax.sharding.Mesh.
+
+The reference's multi-GPU story is "one engine + stream per device"
+(tutorials/multi_GPU_processing.md:13-30) — pure data parallelism by hand.
+TPU-native equivalent: a device mesh with a `dp` axis (batch-sharded frames,
+the direct analog) and an optional `tp` axis (channel-sharded weights for
+large models), with XLA/GSPMD inserting the ICI collectives.
+
+Tensor parallelism shards every conv/linear output-channel dimension that
+divides the tp axis; GSPMD propagates the sharding through the network and
+inserts all-gathers/reduce-scatters where layers mix channels. For the
+model sizes in this catalog DP is the throughput path; TP is headroom for
+the big encoders (FormulaNet-L, ViT, detr) and is exercised by the
+multichip dry-run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_engine", "sharded_serving_step"]
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: int = 1) -> Mesh:
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devs)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.array(devs).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _tp_spec(leaf, tp: int):
+    """Channel-shard spec: conv HWIO weights and biases split on the output
+    channel when divisible by tp; everything else replicated."""
+    if tp == 1:
+        return P()
+    shape = leaf.shape
+    if leaf.ndim == 4 and shape[3] % tp == 0 and shape[3] >= 2 * tp:
+        return P(None, None, None, "tp")
+    if leaf.ndim == 2 and shape[1] % tp == 0 and shape[1] >= 2 * tp:
+        return P(None, "tp")
+    if leaf.ndim == 1 and shape[0] % tp == 0 and shape[0] >= 2 * tp:
+        return P("tp")
+    return P()
+
+
+def shard_engine(engine, mesh: Mesh):
+    """Place engine params on the mesh: TP-sharded over `tp`, replicated
+    over `dp`. Returns the sharded params pytree."""
+    tp = mesh.shape["tp"]
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, _tp_spec(leaf, tp))),
+        engine.params,
+    )
+
+
+def sharded_serving_step(engine, mesh: Mesh, src_h: int, src_w: int,
+                         bgr_to_rgb: bool = False):
+    """Build the jitted multi-chip serving step: frames batch-sharded over
+    `dp`, activations channel-sharded over `tp` via GSPMD propagation.
+
+    Returns (step_fn, sharded_params). step_fn(params, frames_u8, src_hw)
+    runs preprocess + network + decode + NMS on all chips.
+    """
+    from tensorrtx_tpu.ops.preprocess import letterbox_batch
+
+    cfg = engine.cfg
+    model = engine.model
+    params = shard_engine(engine, mesh)
+    dtype = None
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            dtype = leaf.dtype
+            break
+
+    frames_sharding = NamedSharding(mesh, P("dp", None, None, None))
+    hw_sharding = NamedSharding(mesh, P("dp", None))
+
+    def step(p, frames, src_hw):
+        x = letterbox_batch(frames, src_hw, cfg.input_h, cfg.input_w,
+                            bgr_to_rgb=bgr_to_rgb)
+        x = x.astype(dtype)
+        return model.apply(p, x, cfg)
+
+    jitted = jax.jit(step, in_shardings=(
+        jax.tree.map(lambda l: l.sharding, params),
+        frames_sharding, hw_sharding))
+    return jitted, params
