@@ -1,0 +1,122 @@
+"""ResNet family: resnet18/34/50, resnext50_32x4d, wide_resnet50_2.
+
+Reference: resnet/resnet18.cpp, resnet34.cpp, resnet50.cpp:111-160,
+resnext50_32x4d.cpp, wide_resnet50.cpp and the python builder
+resnet/resnet50.py:141-243. Weight names follow torchvision state_dicts
+(conv1, bn1, layer{1-4}.{i}.conv{1-3}/bn{1-3}/downsample.{0,1}, fc),
+which is what the reference's gen_wts.py dumps.
+
+TPU design: BN folded into convs, NHWC, single fused program per config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.ops import nn
+
+BN_EPS = 1e-5  # torchvision BatchNorm default
+
+VARIANTS = {
+    # name: (block, layers, groups, width_per_group)
+    "resnet18": ("basic", [2, 2, 2, 2], 1, 64),
+    "resnet34": ("basic", [3, 4, 6, 3], 1, 64),
+    "resnet50": ("bottleneck", [3, 4, 6, 3], 1, 64),
+    "resnet101": ("bottleneck", [3, 4, 23, 3], 1, 64),
+    "resnet152": ("bottleneck", [3, 8, 36, 3], 1, 64),
+    "resnext50_32x4d": ("bottleneck", [3, 4, 6, 3], 32, 4),
+    "wide_resnet50_2": ("bottleneck", [3, 4, 6, 3], 1, 128),
+}
+
+
+@dataclasses.dataclass
+class ResNetCfg:
+    variant: str = "resnet50"
+    num_classes: int = 1000
+    input_h: int = 224
+    input_w: int = 224
+
+
+def _cbn(wm, conv, bn, co, ci, k, stride_unused=None, groups=1):
+    return wm.conv_bn(conv, bn, co, ci, (k, k), groups=groups, eps=BN_EPS)
+
+
+def build_params(wm, cfg: ResNetCfg):
+    block, layers, groups, wpg = VARIANTS[cfg.variant]
+    expansion = 1 if block == "basic" else 4
+    p = {"stem": _cbn(wm, "conv1", "bn1", 64, 3, 7)}
+    in_c = 64
+    stages = []
+    for li, n in enumerate(layers):
+        base = 64 * (2 ** li)
+        width = int(base * (wpg / 64.0)) * groups
+        out_c = base * expansion
+        blocks = []
+        for bi in range(n):
+            name = f"layer{li + 1}.{bi}"
+            bp = {}
+            if block == "basic":
+                bp["conv1"] = wm.conv_bn(f"{name}.conv1", f"{name}.bn1", base,
+                                         in_c if bi == 0 else base, (3, 3), eps=BN_EPS)
+                bp["conv2"] = wm.conv_bn(f"{name}.conv2", f"{name}.bn2", base,
+                                         base, (3, 3), eps=BN_EPS)
+            else:
+                cin = in_c if bi == 0 else out_c
+                bp["conv1"] = wm.conv_bn(f"{name}.conv1", f"{name}.bn1", width, cin, (1, 1), eps=BN_EPS)
+                bp["conv2"] = wm.conv_bn(f"{name}.conv2", f"{name}.bn2", width, width, (3, 3),
+                                         groups=groups, eps=BN_EPS)
+                bp["conv3"] = wm.conv_bn(f"{name}.conv3", f"{name}.bn3", out_c, width, (1, 1), eps=BN_EPS)
+            if bi == 0 and (in_c != out_c or li > 0):
+                bp["down"] = wm.conv_bn(f"{name}.downsample.0", f"{name}.downsample.1",
+                                        out_c, in_c, (1, 1), eps=BN_EPS)
+            blocks.append(bp)
+        stages.append(blocks)
+        in_c = out_c
+    p["stages"] = stages
+    p["fc"] = wm.linear("fc", cfg.num_classes, in_c)
+    return p
+
+
+def apply(params, x, cfg: ResNetCfg):
+    block, layers, groups, _ = VARIANTS[cfg.variant]
+    y = nn.conv2d(x, params["stem"]["w"], params["stem"]["b"], stride=2, padding=3)
+    y = jax.nn.relu(y)
+    y = nn.max_pool(y, 3, 2, 1)
+    for li, blocks in enumerate(params["stages"]):
+        stride = 1 if li == 0 else 2
+        for bi, bp in enumerate(blocks):
+            s = stride if bi == 0 else 1
+            identity = y
+            if block == "basic":
+                z = jax.nn.relu(nn.conv2d(y, bp["conv1"]["w"], bp["conv1"]["b"],
+                                          stride=s, padding=1))
+                z = nn.conv2d(z, bp["conv2"]["w"], bp["conv2"]["b"], padding=1)
+            else:
+                z = jax.nn.relu(nn.conv2d(y, bp["conv1"]["w"], bp["conv1"]["b"]))
+                z = jax.nn.relu(nn.conv2d(z, bp["conv2"]["w"], bp["conv2"]["b"],
+                                          stride=s, padding=1, groups=groups))
+                z = nn.conv2d(z, bp["conv3"]["w"], bp["conv3"]["b"])
+            if "down" in bp:
+                identity = nn.conv2d(y, bp["down"]["w"], bp["down"]["b"], stride=s)
+            y = jax.nn.relu(z + identity)
+    y = nn.global_avg_pool(y)
+    return nn.linear(y, params["fc"]["w"], params["fc"]["b"])
+
+
+def _default_cfg():
+    return ResNetCfg()
+
+
+register(ModelDef(
+    name="resnet",
+    build_params=build_params,
+    apply=apply,
+    default_cfg=_default_cfg,
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="ResNet/ResNeXt/WideResNet classifiers (reference: resnet/)",
+))

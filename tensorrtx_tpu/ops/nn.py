@@ -30,6 +30,13 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _mxu_precision(dtype):
+    """fp32 engines must honor the reference's fp32 accuracy bar (~1e-4):
+    JAX's DEFAULT TPU precision runs f32 dots through bf16 passes, so force
+    HIGHEST for f32 inputs. Half-precision engines keep the fast path."""
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
 def conv2d(
     x: Array,
     w: Array,
@@ -56,6 +63,7 @@ def conv2d(
         rhs_dilation=d,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        precision=_mxu_precision(x.dtype),
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -92,7 +100,8 @@ def conv_transpose2d(
 
 def linear(x: Array, w: Array, b: Optional[Array] = None) -> Array:
     """x @ w (+ b); w stored (in, out)."""
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype,
+                  precision=_mxu_precision(x.dtype))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
