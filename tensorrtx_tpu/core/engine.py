@@ -52,7 +52,18 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.precision = precision
-        self._jitted = jax.jit(lambda p, x: self.model.apply(p, x, self.cfg))
+        # Half-precision engines compute in their dtype regardless of the
+        # input's dtype (weights follow activations, so an f32 input would
+        # silently upcast the whole network).
+        cast = (resolve_dtype(precision)
+                if precision in ("bf16", "bfloat16", "fp16", "float16") else None)
+
+        def _run(p, x):
+            if cast is not None and jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(cast)
+            return self.model.apply(p, x, self.cfg)
+
+        self._jitted = jax.jit(_run)
 
     def __call__(self, x):
         return self._jitted(self.params, x)
