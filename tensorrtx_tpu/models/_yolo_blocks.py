@@ -45,9 +45,11 @@ def conv_p(wm, name: str, c1: int, c2: int, k: int = 1, groups: int = 1):
                       groups=groups, eps=BN_EPS)
 
 
-def conv_a(p, x, stride: int = 1, k: int = None, groups: int = 1, act: bool = True):
+def conv_a(p, x, stride: int = 1, pad: int = None, groups: int = 1, act: bool = True):
     kh = p["w"].shape[0]
-    y = nn.conv2d(x, p["w"], p["b"], stride=stride, padding=kh // 2, groups=groups)
+    if pad is None:
+        pad = kh // 2
+    y = nn.conv2d(x, p["w"], p["b"], stride=stride, padding=pad, groups=groups)
     return nn.silu(y) if act else y
 
 
@@ -91,6 +93,21 @@ def c3k_a(p, x, shortcut=True):
     for b in p["m"]:
         y1 = bottleneck_a(b, y1, shortcut)
     return conv_a(p["cv3"], jnp.concatenate([y1, y2], axis=-1))
+
+
+def c3_p(wm, name, c1, c2, n, e=0.5):
+    """YOLOv5 C3: bottlenecks use k=(1,3), e=1.0 (ultralytics C3 default)."""
+    c_ = int(c2 * e)
+    return {
+        "cv1": conv_p(wm, f"{name}.cv1", c1, c_),
+        "cv2": conv_p(wm, f"{name}.cv2", c1, c_),
+        "cv3": conv_p(wm, f"{name}.cv3", 2 * c_, c2),
+        "m": [bottleneck_p(wm, f"{name}.m.{i}", c_, c_, k1=1, k2=3, e=1.0)
+              for i in range(n)],
+    }
+
+
+c3_a = c3k_a  # same dataflow; kernel sizes live in the weights
 
 
 def c3k2_p(wm, name, c1, c2, n, c3k: bool, e=0.5):

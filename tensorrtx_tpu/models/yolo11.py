@@ -239,7 +239,7 @@ def _proto_p(wm, cfg):
 
     return {
         "cv1": B.conv_p(wm, "model.23.proto.cv1", w(256), c_, 3),
-        "up_w": _np.transpose(up_w, (2, 3, 0, 1)),  # HWIO (I=in, O=out)
+        "up_w": _np.transpose(up_w, (2, 3, 1, 0)),  # (kh,kw,out,in) for convT
         "up_b": wm.vec("model.23.proto.upsample.bias", c_),
         "cv2": B.conv_p(wm, "model.23.proto.cv2", c_, c_, 3),
         "cv3": B.conv_p(wm, "model.23.proto.cv3", c_, 32, 1),

@@ -1,0 +1,185 @@
+"""YOLOv8 det/seg/cls/pose/obb (reference: yolov8/src/model.cpp — C2F
+backbone/head, Detect at model.22 with cv2 box + cv3 cls branches, Seg proto
+at model.22.proto; yolov8/plugin/yololayer.cu shares the anchor-free decode
+with yolo11).
+
+Uses the shared block library and the same fused decode→top-k→NMS tail as
+yolo11. Scale multipliers: n .33/.25/1024, s .33/.50/1024, m .67/.75/768,
+l 1/1/512, x 1/1.25/512.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.models import _yolo_blocks as B
+from tensorrtx_tpu.ops import detect as D
+from tensorrtx_tpu.ops import nn
+from tensorrtx_tpu.ops.nms import select_and_nms
+
+SCALES = {
+    "n": (0.33, 0.25, 1024),
+    "s": (0.33, 0.50, 1024),
+    "m": (0.67, 0.75, 768),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.25, 512),
+}
+
+
+@dataclasses.dataclass
+class Yolov8Cfg:
+    scale: str = "n"
+    task: str = "det"
+    num_classes: int = 80
+    input_h: int = 640
+    input_w: int = 640
+    conf_thresh: float = 0.5
+    nms_thresh: float = 0.45
+    max_det: int = 300
+    kpt_conf_thresh: float = 0.5
+    num_kpts: int = 17
+    reg_max: int = 16
+    postprocess: str = "nms"
+
+
+def _chans(cfg):
+    gd, gw, maxc = SCALES[cfg.scale]
+    return (lambda x: B.get_width(x, gw, maxc)), (lambda x: B.get_depth(x, gd))
+
+
+def build_params(wm, cfg: Yolov8Cfg):
+    w, d = _chans(cfg)
+    p = {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c2f_p(wm, "model.2", w(128), w(128), d(3)),
+        "m3": B.conv_p(wm, "model.3", w(128), w(256), 3),
+        "m4": B.c2f_p(wm, "model.4", w(256), w(256), d(6)),
+        "m5": B.conv_p(wm, "model.5", w(256), w(512), 3),
+        "m6": B.c2f_p(wm, "model.6", w(512), w(512), d(6)),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c2f_p(wm, "model.8", w(1024), w(1024), d(3)),
+        "m9": B.sppf_p(wm, "model.9", w(1024), w(1024)),
+        "m12": B.c2f_p(wm, "model.12", w(1024) + w(512), w(512), d(3)),
+        "m15": B.c2f_p(wm, "model.15", w(512) + w(256), w(256), d(3)),
+        "m16": B.conv_p(wm, "model.16", w(256), w(256), 3),
+        "m18": B.c2f_p(wm, "model.18", w(512) + w(256), w(512), d(3)),
+        "m19": B.conv_p(wm, "model.19", w(512), w(512), 3),
+        "m21": B.c2f_p(wm, "model.21", w(1024) + w(512), w(1024), d(3)),
+    }
+    ch = [w(256), w(512), w(1024)]
+    nc = cfg.num_classes
+    c2 = max(16, ch[0] // 4, cfg.reg_max * 4)
+    c3 = max(ch[0], min(nc, 100))
+    head = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(ch):
+        head["cv2"].append({
+            "a": B.conv_p(wm, f"model.22.cv2.{i}.0", ci, c2, 3),
+            "b": B.conv_p(wm, f"model.22.cv2.{i}.1", c2, c2, 3),
+            "c": wm.conv2d(f"model.22.cv2.{i}.2", cfg.reg_max * 4, c2, (1, 1)),
+        })
+        head["cv3"].append({
+            "a": B.conv_p(wm, f"model.22.cv3.{i}.0", ci, c3, 3),
+            "b": B.conv_p(wm, f"model.22.cv3.{i}.1", c3, c3, 3),
+            "c": wm.conv2d(f"model.22.cv3.{i}.2", nc, c3, (1, 1)),
+        })
+    p["head"] = head
+    if cfg.task == "seg":
+        import numpy as _np
+
+        cmid = max(ch[0] // 4, 32)
+        p["cv4"] = []
+        for i, ci in enumerate(ch):
+            p["cv4"].append({
+                "a": B.conv_p(wm, f"model.22.cv4.{i}.0", ci, cmid, 3),
+                "b": B.conv_p(wm, f"model.22.cv4.{i}.1", cmid, cmid, 3),
+                "c": wm.conv2d(f"model.22.cv4.{i}.2", 32, cmid, (1, 1)),
+            })
+        c_ = w(256)
+        up_w = wm.tensor("model.22.proto.upsample.weight", (c_, c_, 2, 2))
+        p["proto"] = {
+            "cv1": B.conv_p(wm, "model.22.proto.cv1", ch[0], c_, 3),
+            "up_w": _np.transpose(up_w, (2, 3, 1, 0)),
+            "up_b": wm.vec("model.22.proto.upsample.bias", c_),
+            "cv2": B.conv_p(wm, "model.22.proto.cv2", c_, c_, 3),
+            "cv3": B.conv_p(wm, "model.22.proto.cv3", c_, 32, 1),
+        }
+    return p
+
+
+def _branch3(p, f):
+    y = B.conv_a(p["a"], f)
+    y = B.conv_a(p["b"], y)
+    return nn.conv2d(y, p["c"]["w"], p["c"]["b"])
+
+
+def apply(params, x, cfg: Yolov8Cfg):
+    y = B.conv_a(params["m0"], x, stride=2)
+    y = B.conv_a(params["m1"], y, stride=2)
+    y = B.c2f_a(params["m2"], y, shortcut=True)
+    y = B.conv_a(params["m3"], y, stride=2)
+    c4 = B.c2f_a(params["m4"], y, shortcut=True)
+    y = B.conv_a(params["m5"], c4, stride=2)
+    c6 = B.c2f_a(params["m6"], y, shortcut=True)
+    y = B.conv_a(params["m7"], c6, stride=2)
+    y = B.c2f_a(params["m8"], y, shortcut=True)
+    p5_in = B.sppf_a(params["m9"], y)
+    u = nn.upsample_nearest(p5_in)
+    p4_mid = B.c2f_a(params["m12"], jnp.concatenate([u, c6], -1), shortcut=False)
+    u = nn.upsample_nearest(p4_mid)
+    p3 = B.c2f_a(params["m15"], jnp.concatenate([u, c4], -1), shortcut=False)
+    y = B.conv_a(params["m16"], p3, stride=2)
+    p4 = B.c2f_a(params["m18"], jnp.concatenate([y, p4_mid], -1), shortcut=False)
+    y = B.conv_a(params["m19"], p4, stride=2)
+    p5 = B.c2f_a(params["m21"], jnp.concatenate([y, p5_in], -1), shortcut=False)
+    feats = [p3, p4, p5]
+
+    box_lv = [_branch3(params["head"]["cv2"][i], f) for i, f in enumerate(feats)]
+    cls_lv = [_branch3(params["head"]["cv3"][i], f) for i, f in enumerate(feats)]
+    b = x.shape[0]
+    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1]) for v in box_lv], 1)
+    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1]) for v in cls_lv], 1)
+
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w, (8, 16, 32))
+    ltrb = nn.dfl(box_dist, cfg.reg_max)
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    conf = jnp.max(probs, -1)
+    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+
+    extras = None
+    if cfg.task == "seg":
+        coef_lv = [_branch3(params["cv4"][i], f) for i, f in enumerate(feats)]
+        extras = jnp.concatenate([v.reshape(b, -1, 32) for v in coef_lv], 1).astype(jnp.float32)
+
+    if cfg.postprocess == "raw":
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        return out
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
+                          cfg.max_det, extras=extras)
+    if cfg.task == "seg":
+        pr = params["proto"]
+        q = B.conv_a(pr["cv1"], feats[0])
+        q = nn.silu(nn.conv_transpose2d(q, pr["up_w"], pr["up_b"], stride=2))
+        q = B.conv_a(pr["cv2"], q)
+        proto = B.conv_a(pr["cv3"], q)
+        masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
+                                          proto.astype(jnp.float32), dets.extras))
+        return dets._asdict() | {"masks": masks}
+    return dets._asdict()
+
+
+register(ModelDef(
+    name="yolov8",
+    build_params=build_params,
+    apply=apply,
+    default_cfg=Yolov8Cfg,
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="YOLOv8 det/seg (reference: yolov8/)",
+))

@@ -77,10 +77,11 @@ def conv_transpose2d(
     stride: Union[int, Tuple[int, int]] = 2,
     padding: Union[int, Tuple[int, int]] = 0,
 ) -> Array:
-    """Transposed conv (torch ConvTranspose2d semantics), NHWC/HWIO.
+    """Transposed conv (torch ConvTranspose2d semantics), NHWC.
 
-    ``w`` is HWIO with I = input channels of x, O = output channels
-    (i.e. torch's (in, out, kh, kw) transposed to (kh, kw, in, out)).
+    ``w`` must be torch's (in, out, kh, kw) transposed to (kh, kw, out, in):
+    with transpose_kernel=True lax expects the kernel laid out like the
+    FORWARD conv whose gradient this is.
     """
     s = _pair(stride)
     p = _pair(padding)

@@ -16,9 +16,10 @@ def autopad(k):
 
 
 class Conv(nn.Module):
-    def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+    def __init__(self, c1, c2, k=1, s=1, g=1, act=True, p=None):
         super().__init__()
-        self.conv = nn.Conv2d(c1, c2, k, s, autopad(k), groups=g, bias=False)
+        self.conv = nn.Conv2d(c1, c2, k, s, autopad(k) if p is None else p,
+                              groups=g, bias=False)
         self.bn = nn.BatchNorm2d(c2, eps=1e-3)
         self.act = nn.SiLU() if act else nn.Identity()
 
@@ -182,17 +183,17 @@ class Detect(nn.Module):
         return [(self.cv2[i](f), self.cv3[i](f)) for i, f in enumerate(feats)]
 
 
-class SegExtra(nn.Module):
-    """cv4 branch used by seg (32 coeffs), pose (3*nkpt), obb (1 angle)."""
+class SegExtra(nn.ModuleList):
+    """cv4 branch used by seg (32 coeffs), pose (3*nkpt), obb (1 angle).
+    Subclasses ModuleList so state_dict names match ultralytics (cv4.i.j...)."""
 
     def __init__(self, ch, cmid, cout):
-        super().__init__()
-        self.mods = nn.ModuleList(
+        super().__init__(
             nn.Sequential(Conv(x, cmid, 3), Conv(cmid, cmid, 3),
                           nn.Conv2d(cmid, cout, 1)) for x in ch)
 
     def forward(self, feats):
-        return [self.mods[i](f) for i, f in enumerate(feats)]
+        return [self[i](f) for i, f in enumerate(feats)]
 
 
 class Proto(nn.Module):
