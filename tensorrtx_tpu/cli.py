@@ -1,0 +1,135 @@
+"""Command-line interface — the analog of the reference's per-model binaries.
+
+Reference CLI (yolo11/yolo11_det.cpp:115-160):
+    ./yolo11_det -s yolo11n.wts yolo11n.engine n     # build
+    ./yolo11_det -d yolo11n.engine ../images g       # run
+
+Ours (one CLI, models are registry entries):
+    python -m tensorrtx_tpu.cli build yolo11 -w y.wts -o y.engine \
+        --precision bf16 --set scale=n [--int8-calib-dir DIR]
+    python -m tensorrtx_tpu.cli run y.engine IMAGE_DIR [--batch 4]
+    python -m tensorrtx_tpu.cli list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_set(kvs):
+    out = {}
+    for kv in kvs or []:
+        k, v = kv.split("=", 1)
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                continue
+        out[k] = v
+    return out
+
+
+def cmd_build(args):
+    from tensorrtx_tpu.core.engine import build_engine
+
+    overrides = _parse_set(args.set)
+    eng = build_engine(args.model, args.wts, precision=args.precision,
+                       **overrides)
+    if args.int8_calib_dir:
+        import numpy as np
+
+        from tensorrtx_tpu.core.quant import calibrate, save_scale_cache
+        from tensorrtx_tpu.core.runner import load_image, read_files_in_dir
+        from tensorrtx_tpu.ops.preprocess import letterbox
+        import jax.numpy as jnp
+
+        h, w, _ = eng.model.input_shape(eng.cfg)
+        files = read_files_in_dir(args.int8_calib_dir)[:args.calib_images]
+        batches = []
+        for f in files:
+            im = load_image(f)
+            x = np.asarray(letterbox(jnp.asarray(im), im.shape[0], im.shape[1],
+                                     h, w))
+            batches.append(x[None])
+        scales = calibrate(eng, batches, method=args.calib_method)
+        save_scale_cache(args.output + ".int8calib.json", scales,
+                         {"model": args.model, "method": args.calib_method})
+        print(f"int8 calibration table → {args.output}.int8calib.json")
+    eng.save(args.output)
+    print(f"engine saved → {args.output}")
+
+
+def cmd_run(args):
+    import numpy as np
+
+    from tensorrtx_tpu.core.engine import load_engine
+    from tensorrtx_tpu.core.runner import (ServingPipeline, load_image,
+                                           read_files_in_dir)
+
+    eng = load_engine(args.engine)
+    files = read_files_in_dir(args.image_dir)
+    if not files:
+        print(f"no images in {args.image_dir}", file=sys.stderr)
+        return 1
+    imgs = [load_image(f) for f in files]
+    max_h = max(i.shape[0] for i in imgs)
+    max_w = max(i.shape[1] for i in imgs)
+    pipe = ServingPipeline(eng, src_h=max_h, src_w=max_w, donate=False)
+    t0 = time.perf_counter()
+    for i in range(0, len(imgs), args.batch):
+        chunk = imgs[i:i + args.batch]
+        res = pipe.detect_images(chunk)
+        for f, r in zip(files[i:i + args.batch], res):
+            dets = [{"box": [round(float(v), 1) for v in b],
+                     "score": round(float(s), 3), "class": int(c)}
+                    for b, s, c in zip(r["boxes"], r["scores"], r["classes"])]
+            print(json.dumps({"image": f, "detections": dets}))
+    dt = time.perf_counter() - t0
+    print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms", file=sys.stderr)
+    return 0
+
+
+def cmd_list(args):
+    from tensorrtx_tpu.core.registry import list_models
+
+    for m in list_models():
+        print(m)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tensorrtx_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help=".wts → engine (≙ -s)")
+    b.add_argument("model")
+    b.add_argument("-w", "--wts", required=True)
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("--precision", default="fp32",
+                   choices=["fp32", "bf16", "fp16"])
+    b.add_argument("--set", action="append", metavar="KEY=VAL",
+                   help="config override, e.g. --set scale=n")
+    b.add_argument("--int8-calib-dir")
+    b.add_argument("--calib-method", default="entropy",
+                   choices=["entropy", "percentile", "absmax"])
+    b.add_argument("--calib-images", type=int, default=64)
+    b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("run", help="engine + image dir → detections (≙ -d)")
+    r.add_argument("engine")
+    r.add_argument("image_dir")
+    r.add_argument("--batch", type=int, default=1)
+    r.set_defaults(fn=cmd_run)
+
+    l = sub.add_parser("list", help="list registered models")
+    l.set_defaults(fn=cmd_list)
+
+    args = ap.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

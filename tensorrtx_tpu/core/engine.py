@@ -39,7 +39,12 @@ def _flatten_params(tree) -> Dict[str, np.ndarray]:
     leaves_with_path = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves_with_path:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16 or arr.dtype.kind == "V":
+            # numpy has no bfloat16: store as f32, re-cast on load per the
+            # engine's recorded precision
+            arr = np.asarray(leaf, dtype=np.float32)
+        flat[key] = arr
     return flat
 
 
@@ -110,8 +115,16 @@ class Engine:
         # Rebuild the pytree by re-running build-time structure with stored leaves:
         # we store flattened path→leaf; reconstruct nested dict/list structure.
         params = _unflatten(dict(data))
-        params = jax.tree.map(jnp.asarray, params)
-        return Engine(meta["name"], params, cfg, meta["precision"])
+        precision = meta["precision"]
+        if precision in ("bf16", "bfloat16", "fp16", "float16"):
+            dtype = resolve_dtype(precision)
+            params = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype)
+                if np.issubdtype(np.asarray(a).dtype, np.floating)
+                else jnp.asarray(a), params)
+        else:
+            params = jax.tree.map(jnp.asarray, params)
+        return Engine(meta["name"], params, cfg, precision)
 
     def export_stablehlo(self, path: str, batch: int = 1) -> None:
         """Serialize the AOT program via jax.export (the .engine blob analog)."""

@@ -1,0 +1,172 @@
+"""INT8 static-range quantization with image-directory calibration.
+
+TPU-native analog of the reference's Int8EntropyCalibrator2
+(yolo11/src/calibrator.cpp:9-74, yolo11/include/calibrator.h): stream
+calibration batches through the fp32 network, collect per-conv activation
+statistics, choose scales (TRT-style KL/entropy, percentile, or absmax),
+cache them to a table file (≙ int8calib.table), and build a quantized engine
+whose convs run int8×int8→int32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrtx_tpu.core.engine import Engine
+from tensorrtx_tpu.ops import quant_ctx
+
+__all__ = ["calibrate", "entropy_scale", "save_scale_cache",
+           "load_scale_cache", "QuantizedEngine", "weight_scales"]
+
+HIST_BINS = 2048
+QUANT_BINS = 128
+
+
+def entropy_scale(hist: np.ndarray, absmax: float) -> float:
+    """TensorRT-style KL-divergence threshold search over a 2048-bin
+    histogram of |x| with range [0, absmax]; returns scale = T / 127."""
+    hist = hist.astype(np.float64)
+    total = hist.sum()
+    if total == 0 or absmax == 0:
+        return max(absmax / 127.0, 1e-8)
+    bin_w = absmax / HIST_BINS
+    best_kl, best_i = np.inf, HIST_BINS
+    for i in range(QUANT_BINS, HIST_BINS + 1, 8):
+        p = hist[:i].copy()
+        outliers = hist[i:].sum()
+        p[-1] += outliers
+        if p.sum() == 0:
+            continue
+        # quantize p into QUANT_BINS, then expand back
+        chunks = np.array_split(p, QUANT_BINS)
+        q = np.zeros_like(p)
+        pos = 0
+        for c in chunks:
+            n = len(c)
+            nz = (c > 0).sum()
+            if nz > 0:
+                q[pos:pos + n] = np.where(c > 0, c.sum() / nz, 0)
+            pos += n
+        pm = p / p.sum()
+        qm = q / max(q.sum(), 1e-12)
+        mask = pm > 0
+        kl = float(np.sum(pm[mask] * np.log(pm[mask] / np.maximum(qm[mask], 1e-12))))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    threshold = (best_i + 0.5) * bin_w
+    return max(threshold / 127.0, 1e-8)
+
+
+def percentile_scale(hist: np.ndarray, absmax: float, pct: float = 99.99) -> float:
+    c = np.cumsum(hist.astype(np.float64))
+    if c[-1] == 0:
+        return max(absmax / 127.0, 1e-8)
+    idx = int(np.searchsorted(c, c[-1] * pct / 100.0))
+    return max((idx + 0.5) * absmax / HIST_BINS / 127.0, 1e-8)
+
+
+def calibrate(engine: Engine, batches: Iterable[np.ndarray],
+              method: str = "entropy") -> np.ndarray:
+    """Run calibration batches through the fp32 graph; return per-conv input
+    scales (trace order). ``batches``: NHWC float arrays, already preprocessed
+    (the reference streams preprocessed images the same way,
+    calibrator.cpp:33-56)."""
+    batches = list(batches)
+    model, cfg = engine.model, engine.cfg
+
+    def tapped(mode, ranges=None):
+        def fn(params, x):
+            state = quant_ctx.QuantState(mode, hist_ranges=ranges, hist_bins=HIST_BINS)
+            with quant_ctx.quant_context(state):
+                out = model.apply(params, x, cfg)
+            return [t for t in state.taps]
+        return jax.jit(fn)
+
+    # pass 1: absmax per layer across all batches
+    absmax = None
+    fn1 = tapped("tap_absmax")
+    for b in batches:
+        taps = [np.asarray(t) for t in fn1(engine.params, jnp.asarray(b))]
+        cur = np.array(taps)
+        absmax = cur if absmax is None else np.maximum(absmax, cur)
+    if method == "absmax":
+        return np.maximum(absmax / 127.0, 1e-8)
+
+    # pass 2: histograms at fixed ranges
+    hists = None
+    fn2 = tapped("tap_hist", ranges=absmax)
+    for b in batches:
+        taps = [np.asarray(t) for t in fn2(engine.params, jnp.asarray(b))]
+        hists = taps if hists is None else [h + t for h, t in zip(hists, taps)]
+
+    chooser = entropy_scale if method == "entropy" else percentile_scale
+    return np.array([chooser(h, float(a)) for h, a in zip(hists, absmax)],
+                    np.float32)
+
+
+def weight_scales(engine: Engine) -> List[np.ndarray]:
+    """Per-conv per-output-channel |w|max/127 in conv trace order.
+
+    Collected by spying on ops.nn.conv2d during one eager forward with the
+    concrete params: eager execution visits convs in exactly the order the
+    jitted quant trace will.
+    """
+    model, cfg = engine.model, engine.cfg
+    ws: List[np.ndarray] = []
+    import tensorrtx_tpu.ops.nn as _nn
+
+    orig_conv = _nn.conv2d
+
+    def conv_spy(x, w, b=None, **kw):
+        ws.append(np.asarray(w))
+        return orig_conv(x, w, b, **kw)
+
+    _nn.conv2d = conv_spy
+    try:
+        h, w_, c = model.input_shape(cfg)
+        model.apply(engine.params, jnp.zeros((1, h, w_, c), jnp.float32), cfg)
+    finally:
+        _nn.conv2d = orig_conv
+    return [np.maximum(np.abs(w.astype(np.float32)).max(axis=(0, 1, 2)) / 127.0,
+                       1e-8) for w in ws]
+
+
+def save_scale_cache(path: str, act_scales: np.ndarray, meta: dict = None):
+    """The int8calib.table analog (calibrator.cpp:58-74)."""
+    with open(path, "w") as f:
+        json.dump({"format": "tensorrtx-tpu-int8-v1",
+                   "act_scales": np.asarray(act_scales).tolist(),
+                   "meta": meta or {}}, f)
+
+
+def load_scale_cache(path: str) -> np.ndarray:
+    with open(path) as f:
+        d = json.load(f)
+    return np.asarray(d["act_scales"], np.float32)
+
+
+class QuantizedEngine:
+    """Engine wrapper whose convs run the int8 path (grouped convs stay fp)."""
+
+    def __init__(self, engine: Engine, act_scales: np.ndarray):
+        self.engine = engine
+        self.act_scales = np.asarray(act_scales, np.float32)
+        self.w_scales = weight_scales(engine)
+        model, cfg = engine.model, engine.cfg
+
+        def fn(params, x):
+            state = quant_ctx.QuantState(
+                "quant", act_scales=self.act_scales, w_scales=self.w_scales)
+            with quant_ctx.quant_context(state):
+                return model.apply(params, x, cfg)
+
+        self._jitted = jax.jit(fn)
+
+    def __call__(self, x):
+        return self._jitted(self.engine.params, jnp.asarray(x))

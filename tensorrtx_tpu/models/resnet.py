@@ -46,10 +46,12 @@ def _cbn(wm, conv, bn, co, ci, k, stride_unused=None, groups=1):
     return wm.conv_bn(conv, bn, co, ci, (k, k), groups=groups, eps=BN_EPS)
 
 
-def build_params(wm, cfg: ResNetCfg):
-    block, layers, groups, wpg = VARIANTS[cfg.variant]
+def build_backbone_params(wm, variant: str, prefix: str = ""):
+    """Stem + 4 stages (reusable: detr's `backbone.0.body.`, rcnn, etc.)."""
+    block, layers, groups, wpg = VARIANTS[variant]
     expansion = 1 if block == "basic" else 4
-    p = {"stem": _cbn(wm, "conv1", "bn1", 64, 3, 7)}
+    p = {"stem": wm.conv_bn(f"{prefix}conv1", f"{prefix}bn1", 64, 3, (7, 7),
+                            eps=BN_EPS)}
     in_c = 64
     stages = []
     for li, n in enumerate(layers):
@@ -58,7 +60,7 @@ def build_params(wm, cfg: ResNetCfg):
         out_c = base * expansion
         blocks = []
         for bi in range(n):
-            name = f"layer{li + 1}.{bi}"
+            name = f"{prefix}layer{li + 1}.{bi}"
             bp = {}
             if block == "basic":
                 bp["conv1"] = wm.conv_bn(f"{name}.conv1", f"{name}.bn1", base,
@@ -78,15 +80,24 @@ def build_params(wm, cfg: ResNetCfg):
         stages.append(blocks)
         in_c = out_c
     p["stages"] = stages
-    p["fc"] = wm.linear("fc", cfg.num_classes, in_c)
     return p
 
 
-def apply(params, x, cfg: ResNetCfg):
-    block, layers, groups, _ = VARIANTS[cfg.variant]
+def build_params(wm, cfg: ResNetCfg):
+    p = build_backbone_params(wm, cfg.variant)
+    block, _, _, _ = VARIANTS[cfg.variant]
+    expansion = 1 if block == "basic" else 4
+    p["fc"] = wm.linear("fc", cfg.num_classes, 512 * expansion)
+    return p
+
+
+def backbone_apply(params, x, variant: str, return_stages=False):
+    """Stem + stages; returns final feature map (or all 4 stage outputs)."""
+    block, layers, groups, _ = VARIANTS[variant]
     y = nn.conv2d(x, params["stem"]["w"], params["stem"]["b"], stride=2, padding=3)
     y = jax.nn.relu(y)
     y = nn.max_pool(y, 3, 2, 1)
+    outs = []
     for li, blocks in enumerate(params["stages"]):
         stride = 1 if li == 0 else 2
         for bi, bp in enumerate(blocks):
@@ -104,6 +115,12 @@ def apply(params, x, cfg: ResNetCfg):
             if "down" in bp:
                 identity = nn.conv2d(y, bp["down"]["w"], bp["down"]["b"], stride=s)
             y = jax.nn.relu(z + identity)
+        outs.append(y)
+    return outs if return_stages else y
+
+
+def apply(params, x, cfg: ResNetCfg):
+    y = backbone_apply(params, x, cfg.variant)
     y = nn.global_avg_pool(y)
     return nn.linear(y, params["fc"]["w"], params["fc"]["b"])
 

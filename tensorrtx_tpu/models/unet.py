@@ -1,0 +1,85 @@
+"""UNet semantic segmentation (reference: unet/unet.cpp — milesial
+Pytorch-UNet, bilinear upsampling variant; doubleConv = conv3x3+BN+act ×2,
+weight names inc/down{1-4}/up{1-4}/outc with .double_conv.{0,1,3,4}).
+
+Note: the reference inserts TRT LeakyReLU where the source checkpoint was
+trained with ReLU (unet.cpp:31); we follow the source (ReLU) since parity is
+against the PyTorch model the .wts came from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.ops import nn
+
+BN_EPS = 1e-5
+
+
+@dataclasses.dataclass
+class UNetCfg:
+    num_classes: int = 2
+    input_h: int = 640
+    input_w: int = 960   # reference uses 959; pad to a multiple of 16
+
+
+def _dc(wm, name, cin, cmid, cout):
+    return {
+        "c1": wm.conv_bn(f"{name}.double_conv.0", f"{name}.double_conv.1",
+                         cmid, cin, (3, 3), eps=BN_EPS),
+        "c2": wm.conv_bn(f"{name}.double_conv.3", f"{name}.double_conv.4",
+                         cout, cmid, (3, 3), eps=BN_EPS),
+    }
+
+
+def build_params(wm, cfg: UNetCfg):
+    return {
+        "inc": _dc(wm, "inc", 3, 64, 64),
+        "down1": _dc(wm, "down1.maxpool_conv.1", 64, 128, 128),
+        "down2": _dc(wm, "down2.maxpool_conv.1", 128, 256, 256),
+        "down3": _dc(wm, "down3.maxpool_conv.1", 256, 512, 512),
+        "down4": _dc(wm, "down4.maxpool_conv.1", 512, 512, 512),
+        "up1": _dc(wm, "up1.conv", 1024, 512, 256),
+        "up2": _dc(wm, "up2.conv", 512, 256, 128),
+        "up3": _dc(wm, "up3.conv", 256, 128, 64),
+        "up4": _dc(wm, "up4.conv", 128, 64, 64),
+        "outc": wm.conv2d("outc.conv", cfg.num_classes, 64, (1, 1)),
+    }
+
+
+def _dc_a(p, x):
+    x = jax.nn.relu(nn.conv2d(x, p["c1"]["w"], p["c1"]["b"], padding=1))
+    return jax.nn.relu(nn.conv2d(x, p["c2"]["w"], p["c2"]["b"], padding=1))
+
+
+def _up(x, skip, p):
+    y = nn.upsample_bilinear(x, (skip.shape[1], skip.shape[2]),
+                             align_corners=True)
+    return _dc_a(p, jnp.concatenate([skip, y], axis=-1))
+
+
+def apply(params, x, cfg: UNetCfg):
+    x1 = _dc_a(params["inc"], x)
+    x2 = _dc_a(params["down1"], nn.max_pool(x1, 2, 2))
+    x3 = _dc_a(params["down2"], nn.max_pool(x2, 2, 2))
+    x4 = _dc_a(params["down3"], nn.max_pool(x3, 2, 2))
+    x5 = _dc_a(params["down4"], nn.max_pool(x4, 2, 2))
+    y = _up(x5, x4, params["up1"])
+    y = _up(y, x3, params["up2"])
+    y = _up(y, x2, params["up3"])
+    y = _up(y, x1, params["up4"])
+    return nn.conv2d(y, params["outc"]["w"], params["outc"]["b"])
+
+
+register(ModelDef(
+    name="unet",
+    build_params=build_params,
+    apply=apply,
+    default_cfg=UNetCfg,
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="UNet segmentation (reference: unet/)",
+))

@@ -47,7 +47,11 @@ def conv2d(
     dilation: Union[int, Tuple[int, int]] = 1,
 ) -> Array:
     """NHWC conv with HWIO weights; symmetric explicit padding like TRT's
-    setPaddingNd (pads both sides by p, unlike XLA 'SAME' for even kernels)."""
+    setPaddingNd (pads both sides by p, unlike XLA 'SAME' for even kernels).
+
+    When a quantization context is active (ops.quant_ctx), the conv either
+    records calibration taps or runs the int8 MXU path.
+    """
     s = _pair(stride)
     d = _pair(dilation)
     if isinstance(padding, str):
@@ -55,13 +59,50 @@ def conv2d(
     else:
         p = _pair(padding)
         pad = [(p[0], p[0]), (p[1], p[1])]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    from tensorrtx_tpu.ops import quant_ctx
+
+    st = quant_ctx.STATE
+    if st is not None and st.mode.startswith("tap"):
+        xa = jnp.abs(x.astype(jnp.float32))
+        if st.mode == "tap_absmax":
+            st.taps.append(jnp.max(xa))
+        else:  # tap_hist: fixed range from the absmax pass
+            i = st.next_idx()
+            hi = float(st.hist_ranges[i])
+            hist, _ = jnp.histogram(xa, bins=st.hist_bins, range=(0.0, max(hi, 1e-8)))
+            st.taps.append(hist)
+    elif st is not None and st.mode == "quant":
+        i = st.next_idx()
+        if groups != 1:
+            # grouped/depthwise convs stay in the float path (mixed-precision
+            # engines, like TRT falling back per-layer); idx stays aligned.
+            st = None
+        else:
+            sx = float(st.act_scales[i])
+            sw = st.w_scales[i]  # (O,) float32 per-output-channel
+    if st is not None and st.mode == "quant":
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+        wq = jnp.clip(
+            jnp.round(w.astype(jnp.float32) / sw[None, None, None, :]),
+            -127, 127).astype(jnp.int8)
+        acc = lax.conv_general_dilated(
+            xq, wq, window_strides=s, padding=pad, rhs_dilation=d,
+            dimension_numbers=dn, feature_group_count=groups,
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (sx * sw)[None, None, None, :]
+        if b is not None:
+            out = out + b.astype(jnp.float32)
+        return out.astype(x.dtype)
+
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=s,
         padding=pad,
         rhs_dilation=d,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=dn,
         feature_group_count=groups,
         precision=_mxu_precision(x.dtype),
     )

@@ -1,0 +1,63 @@
+"""INT8 calibration + quantized engine tests (reference feature:
+Int8EntropyCalibrator2, yolo11/src/calibrator.cpp)."""
+
+import numpy as np
+import pytest
+import torch
+
+from tensorrtx_tpu.core.engine import build_engine
+from tensorrtx_tpu.core.quant import (QuantizedEngine, calibrate,
+                                      entropy_scale, load_scale_cache,
+                                      percentile_scale, save_scale_cache)
+from tensorrtx_tpu.core.wts import state_dict_to_wts
+from torch_refs.resnet_torch import make
+from torch_refs.yolo11_torch import randomize
+
+
+@pytest.fixture(scope="module")
+def r18(tmp_path_factory):
+    tm = randomize(make("resnet18", num_classes=10), seed=7).eval()
+    wts = tmp_path_factory.mktemp("q") / "r18.wts"
+    state_dict_to_wts(str(wts), tm.state_dict())
+    return build_engine("resnet", str(wts), variant="resnet18", num_classes=10,
+                        input_h=64, input_w=64)
+
+
+def test_entropy_scale_sane():
+    # gaussian-ish histogram: threshold should be well below the absmax tail
+    rng = np.random.default_rng(0)
+    data = np.abs(rng.normal(0, 1.0, 100000))
+    data = np.append(data, [8.0])  # one outlier
+    hist, _ = np.histogram(data, bins=2048, range=(0, 8.0))
+    s_ent = entropy_scale(hist, 8.0)
+    s_abs = 8.0 / 127.0
+    assert s_ent < s_abs  # entropy clips the outlier tail
+    s_pct = percentile_scale(hist, 8.0)
+    assert s_pct < s_abs
+
+
+@pytest.mark.parametrize("method", ["absmax", "entropy"])
+def test_int8_resnet18_accuracy(r18, method, rng):
+    batches = [rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+               for _ in range(3)]
+    scales = calibrate(r18, batches, method=method)
+    assert (scales > 0).all()
+    qeng = QuantizedEngine(r18, scales)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(r18(x)).astype(np.float32)
+    got = np.asarray(qeng(x)).astype(np.float32)
+    # INT8 target is accuracy parity, not logit parity (SURVEY.md §7):
+    # top-1 must agree and correlation must be high
+    assert (got.argmax(1) == ref.argmax(1)).all()
+    cc = np.corrcoef(got.reshape(-1), ref.reshape(-1))[0, 1]
+    # entropy deliberately clips tails (lower logit fidelity, same decisions)
+    assert cc > (0.95 if method == "entropy" else 0.99), cc
+
+
+def test_scale_cache_roundtrip(tmp_path, r18, rng):
+    batches = [rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)]
+    scales = calibrate(r18, batches, method="absmax")
+    p = tmp_path / "int8calib.table"
+    save_scale_cache(str(p), scales, {"model": "resnet18"})
+    loaded = load_scale_cache(str(p))
+    np.testing.assert_allclose(loaded, scales, rtol=1e-6)
