@@ -118,8 +118,9 @@ class WeightMap:
         groups: int = 1,
         eps: float = 1e-3,
     ) -> ConvParams:
-        """Conv (no bias) + BN folded into a single conv weight/bias."""
-        p = self.conv2d(conv_name, out_c, in_c, k, groups=groups, bias=False)
+        """Conv + BN folded into a single conv weight/bias (a conv bias, when
+        present in the checkpoint, folds through the BN: b' = b·s + shift)."""
+        p = self.conv2d(conv_name, out_c, in_c, k, groups=groups, bias=True)
         scale, shift = self.bn(bn_name, out_c, eps)
         w = p["w"] * scale[None, None, None, :]
         b = shift if p["b"] is None else p["b"] * scale + shift

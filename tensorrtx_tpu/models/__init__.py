@@ -23,6 +23,7 @@ _MODULES = [
     "efficientnet",
     "arcface",
     "retinaface",
+    "crnn",
     "unet",
     "vit",
     "detr",
