@@ -24,6 +24,7 @@ _MODULES = [
     "arcface",
     "retinaface",
     "crnn",
+    "real_esrgan",
     "unet",
     "vit",
     "detr",
