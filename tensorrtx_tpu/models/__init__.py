@@ -24,6 +24,7 @@ _MODULES = [
     "arcface",
     "retinaface",
     "crnn",
+    "dbnet",
     "real_esrgan",
     "unet",
     "vit",
