@@ -26,6 +26,10 @@ _MODULES = [
     "crnn",
     "dbnet",
     "real_esrgan",
+    "superpoint",
+    "csrnet",
+    "ufld",
+    "tsm",
     "unet",
     "vit",
     "detr",
