@@ -27,9 +27,10 @@ _MODULES = [
     "dbnet",
     "real_esrgan",
     "superpoint",
+    "efficient_ad",
+    "tsm",
     "csrnet",
     "ufld",
-    "tsm",
     "unet",
     "vit",
     "detr",

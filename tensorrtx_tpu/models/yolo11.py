@@ -296,6 +296,13 @@ def apply(params, x, cfg: Yolo11Cfg):
             out["proto"] = _proto_a(params["proto"], feats[0])
         return out
 
+    if cfg.postprocess == "nmsfree":
+        # one2one-head contract (yolov10 / yolo26): gate + top-k, no NMS
+        from tensorrtx_tpu.ops.nms import select_topk
+
+        return select_topk(boxes, conf, cls_id, cfg.conf_thresh,
+                           cfg.max_det, extras=extras)._asdict()
+
     dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
                           cfg.max_det, extras=extras, obb=(cfg.task == "obb"))
     if cfg.task == "seg":

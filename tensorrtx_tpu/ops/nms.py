@@ -121,6 +121,32 @@ def nms_greedy(iou: Array, scores: Array, classes: Array, iou_thresh: float,
     return keep & valid
 
 
+def select_topk(boxes: Array, scores: Array, classes: Array,
+                conf_thresh: float, max_det: int,
+                extras: Optional[Array] = None) -> Detections:
+    """NMS-free selection (yolov10/yolo26 one2one heads,
+    yolov10/plugin/yololayer.cu:157, yolo26/plugin/yololayer.cu:178-250):
+    confidence gate + top-k, no suppression."""
+
+    def one(bx, sc, cl, ex):
+        masked = jnp.where(sc >= conf_thresh, sc, -1.0)
+        k = min(max_det, sc.shape[0])
+        top_sc, top_i = jax.lax.top_k(masked, k)
+        valid = top_sc >= conf_thresh
+        return Detections(
+            boxes=bx[top_i],
+            scores=jnp.where(valid, top_sc, 0.0),
+            classes=cl[top_i].astype(jnp.int32),
+            valid=valid,
+            count=jnp.sum(valid).astype(jnp.int32),
+            extras=ex[top_i] if ex is not None else None,
+        )
+
+    if extras is None:
+        return jax.vmap(lambda b, s, c: one(b, s, c, None))(boxes, scores, classes)
+    return jax.vmap(one)(boxes, scores, classes, extras)
+
+
 def select_and_nms(
     boxes: Array,
     scores: Array,
