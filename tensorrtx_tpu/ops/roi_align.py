@@ -1,0 +1,79 @@
+"""RoIAlign — detectron2-exact bilinear ROI pooling.
+
+Reference: rcnn/RoiAlign.cu:83-175 (CUDA kernel adapted from NV
+retinanet-examples). TPU formulation: for static (pooled_h, pooled_w,
+sampling_ratio), each output cell's sample coordinates are computed densely
+and fetched with one vectorized gather per corner — no scalar loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+__all__ = ["roi_align"]
+
+
+def _bilinear_gather(feat: Array, ys: Array, xs: Array) -> Array:
+    """feat (H, W, C); ys/xs (...,) → (..., C), detectron2 border handling:
+    clamp coords into [0, H-1]/[0, W-1], zero outside [-1, H)/( -1, W)."""
+    h, w, _ = feat.shape
+    valid = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y = jnp.clip(ys, 0.0, h - 1)
+    x = jnp.clip(xs, 0.0, w - 1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (y - y0)[..., None]
+    lx = (x - x0)[..., None]
+    v00 = feat[y0, x0]
+    v01 = feat[y0, x1]
+    v10 = feat[y1, x0]
+    v11 = feat[y1, x1]
+    out = (v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx
+           + v10 * ly * (1 - lx) + v11 * ly * lx)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("pooled", "sampling_ratio",
+                                             "aligned"))
+def roi_align(feat: Array, rois: Array, spatial_scale: float,
+              pooled: Tuple[int, int] = (7, 7), sampling_ratio: int = 2,
+              aligned: bool = False) -> Array:
+    """feat (H, W, C), rois (N, 4) xyxy in image coords →
+    (N, ph, pw, C) averaged bilinear samples (RoiAlign.cu semantics:
+    roi scaled by spatial_scale, each bin sampled sampling_ratio² times)."""
+    ph, pw = pooled
+    sr = sampling_ratio
+    off = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * spatial_scale - off
+    y1 = rois[:, 1] * spatial_scale - off
+    x2 = rois[:, 2] * spatial_scale - off
+    y2 = rois[:, 3] * spatial_scale - off
+    rw = jnp.maximum(x2 - x1, 1.0 if not aligned else 1e-6)
+    rh = jnp.maximum(y2 - y1, 1.0 if not aligned else 1e-6)
+    bin_h = rh / ph   # (N,)
+    bin_w = rw / pw
+
+    iy = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr   # (sr,)
+    by = jnp.arange(ph, dtype=jnp.float32)                # (ph,)
+    bx = jnp.arange(pw, dtype=jnp.float32)
+    # sample grid per roi: (N, ph, sr) y coords, (N, pw, sr) x coords
+    ys = (y1[:, None, None] + (by[None, :, None] + iy[None, None, :])
+          * bin_h[:, None, None])
+    xs = (x1[:, None, None] + (bx[None, :, None] + iy[None, None, :])
+          * bin_w[:, None, None])
+    # full (N, ph, sr, pw, sr) coordinate lattice
+    n = rois.shape[0]
+    Y = jnp.broadcast_to(ys[:, :, :, None, None], (n, ph, sr, pw, sr))
+    X = jnp.broadcast_to(xs[:, None, None, :, :], (n, ph, sr, pw, sr))
+    samples = _bilinear_gather(feat, Y.reshape(-1), X.reshape(-1))
+    c = feat.shape[-1]
+    samples = samples.reshape(n, ph, sr, pw, sr, c)
+    return samples.mean(axis=(2, 4))
