@@ -35,6 +35,7 @@ _MODULES = [
     "vit",
     "detr",
     "yolo11",
+    "yolov3",
     "yolov5",
     "yolov8",
 ]
