@@ -52,6 +52,50 @@ def main():
               f"({ips:.1f} img/s), per-call p50 {lat['p50_ms']:.1f} ms",
               file=sys.stderr)
 
+    # secondary headline benchmarks vs the reference's published latencies
+    # (BASELINE.md: DETR-R50 b1 19.57 ms fp32 / 9.42 ms fp16 on 2080Ti;
+    #  UNet 816x672-ish 14 ms fp16 bs8 → 1.75 ms/img)
+    secondary = {}
+    try:
+        import dataclasses as _dc
+
+        from tensorrtx_tpu.core.random_weights import RandomWeightMap
+        from tensorrtx_tpu.core.registry import get_model
+        from tensorrtx_tpu.core.engine import Engine
+
+        def _rand_engine(name, **over):
+            model = get_model(name)
+            cfg = _dc.replace(model.default_cfg(), **over)
+            params = model.build_params(RandomWeightMap(), cfg)
+            params = jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.bfloat16)
+                if np.issubdtype(np.asarray(a).dtype, np.floating)
+                else jnp.asarray(a), params)
+            return Engine(name, params, cfg, "bf16")
+
+        for name, over, b, ref_ms in (
+                ("detr", dict(input_h=800, input_w=800), 1, 9.42),
+                ("unet", dict(input_h=640, input_w=960, num_classes=2), 8,
+                 14.0)):
+            e = _rand_engine(name, **over)
+            h, w, c = e.model.input_shape(e.cfg)
+            xs = [jax.device_put(jnp.asarray(
+                np.random.default_rng(i).uniform(-1, 1, (b, h, w, c)),
+                jnp.bfloat16)) for i in range(4)]
+            m = bench_marginal(lambda x, e=e: e._jitted(e.params, x),
+                               [(x,) for x in xs], 5, 25)
+            per_img = m["iter_ms"] / b
+            secondary[name] = {
+                "batch": b, "iter_ms": round(m["iter_ms"], 3),
+                "per_image_ms": round(per_img, 3),
+                "ref_trt_per_image_ms": ref_ms,
+                "speedup_vs_ref": round(ref_ms / max(per_img, 1e-6), 2),
+            }
+            print(f"# {name} b{b}: {per_img:.2f} ms/img "
+                  f"(ref TRT {ref_ms} ms/img)", file=sys.stderr)
+    except Exception as e:  # secondary benches must never break the headline
+        print(f"# secondary bench skipped: {e}", file=sys.stderr)
+
     ips1 = results[1]["ips"]
     print(json.dumps({
         "metric": "yolo11n 640x640 e2e (preprocess+infer+decode+NMS) images/sec/chip, batch1 steady-state",
@@ -64,6 +108,7 @@ def main():
             "batch32_ips": round(results[32]["ips"], 1),
             "batch32_iter_ms": round(results[32]["iter_ms"], 3),
             "baseline": "TRT-A100 yolo11n e2e est. 1050 img/s (no in-repo number; BASELINE.md)",
+            "secondary_vs_published": secondary,
         },
     }))
 
