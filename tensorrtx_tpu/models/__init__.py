@@ -34,6 +34,7 @@ _MODULES = [
     "unet",
     "vit",
     "detr",
+    "rcnn",
     "yolo11",
     "yolov3",
     "yolov5",
