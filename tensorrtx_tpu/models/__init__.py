@@ -12,6 +12,7 @@ _MODULES = [
     "googlenet",
     "squeezenet",
     "mobilenet",
+    "mobilenetv3",
     "shufflenetv2",
     "mnasnet",
     "senet",
