@@ -25,6 +25,7 @@ _MODULES = [
     "arcface",
     "retinaface",
     "crnn",
+    "lprnet",
     "dbnet",
     "real_esrgan",
     "superpoint",
