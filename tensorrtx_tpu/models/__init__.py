@@ -41,6 +41,7 @@ _MODULES = [
     "yolov3",
     "yolov5",
     "yolov8",
+    "yolop",
 ]
 
 _loaded = False
