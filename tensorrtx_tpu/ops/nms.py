@@ -121,6 +121,33 @@ def nms_greedy(iou: Array, scores: Array, classes: Array, iou_thresh: float,
     return keep & valid
 
 
+def soft_nms(iou: Array, scores: Array, classes: Array, method: int = 1,
+             sigma: float = 0.5, iou_thresh: float = 0.5,
+             score_thresh: float = 0.001) -> Array:
+    """Soft-NMS (rcnn/BatchedNms.cu nms_method 1=linear, 2=gaussian).
+
+    Sequential over score-sorted rows via fori_loop: each surviving box
+    decays the scores of its same-class overlaps instead of killing them.
+    Returns the decayed scores (caller re-thresholds / top-ks).
+    """
+    n = scores.shape[0]
+    same = classes[:, None] == classes[None, :]
+    later = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) > \
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+
+    def body(i, sc):
+        row_iou = iou[i]
+        if method == 2:
+            decay = jnp.exp(-jnp.square(row_iou) / sigma)
+        else:
+            decay = jnp.where(row_iou > iou_thresh, 1.0 - row_iou, 1.0)
+        mask = same[i] & later[i]
+        factor = jnp.where(mask & (sc[i] > score_thresh), decay, 1.0)
+        return sc * factor
+
+    return jax.lax.fori_loop(0, n, body, scores.astype(jnp.float32))
+
+
 def select_topk(boxes: Array, scores: Array, classes: Array,
                 conf_thresh: float, max_det: int,
                 extras: Optional[Array] = None) -> Detections:
