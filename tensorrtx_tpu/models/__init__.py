@@ -39,6 +39,7 @@ _MODULES = [
     "rcnn",
     "yolo11",
     "yolov3",
+    "yolov4",
     "yolov5",
     "yolov8",
     "yolop",
