@@ -21,6 +21,7 @@ _MODULES = [
     "inception",
     "ghostnet",
     "ibnnet",
+    "hrnet",
     "efficientnet",
     "arcface",
     "retinaface",
