@@ -184,6 +184,7 @@ def select_and_nms(
     extras: Optional[Array] = None,
     obb: bool = False,
     greedy: bool = False,
+    impl: str = "xla",
 ) -> Detections:
     """Fused candidate selection + NMS, batched.
 
@@ -191,6 +192,9 @@ def select_and_nms(
     scores (B,N) best-class confidence, classes (B,N).
     Deterministic replacement for atomic-append: mask by conf_thresh,
     lax.top_k to max_det slots, dense O(max_det²) NMS.
+
+    impl: "xla" (default, fuses into the program) or "pallas" (the
+    VMEM-tiled kernel in ops/pallas/nms_pallas; identical semantics).
     """
 
     def one(bx, sc, cl, ex):
@@ -202,13 +206,19 @@ def select_and_nms(
         top_cl = cl[top_i]
         top_ex = ex[top_i] if ex is not None else None
         valid = top_sc >= conf_thresh
-        if obb:
-            ob = jnp.concatenate([top_bx, top_ex[:, :1]], axis=-1)
-            iou = probiou_matrix(ob)
+        if impl == "pallas" and not obb and not greedy:
+            from tensorrtx_tpu.ops.pallas.nms_pallas import nms_mask_pallas
+
+            keep = nms_mask_pallas(top_bx, jnp.where(valid, top_sc, 0.0),
+                                   top_cl, iou_thresh)
         else:
-            iou = box_iou_matrix(top_bx)
-        nms_fn = nms_greedy if greedy else nms_mask
-        keep = nms_fn(iou, top_sc, top_cl, iou_thresh, valid)
+            if obb:
+                ob = jnp.concatenate([top_bx, top_ex[:, :1]], axis=-1)
+                iou = probiou_matrix(ob)
+            else:
+                iou = box_iou_matrix(top_bx)
+            nms_fn = nms_greedy if greedy else nms_mask
+            keep = nms_fn(iou, top_sc, top_cl, iou_thresh, valid)
         # compact: stable order by keep (survivors first, score order preserved)
         order = jnp.argsort(~keep, stable=True)
         return Detections(
