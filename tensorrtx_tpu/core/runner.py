@@ -86,7 +86,7 @@ class ServingPipeline:
         results = []
         cfg = self.engine.cfg
         boxes = np.asarray(out["boxes"]) if isinstance(out, dict) else np.asarray(out.boxes)
-        d = out if isinstance(out, dict) else out._asdict()
+        d = out if isinstance(out, dict) else out.as_dict()
         for i in range(b):
             n = int(d["count"][i])
             bx = np.asarray(scale_boxes_back(

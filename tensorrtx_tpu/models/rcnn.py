@@ -215,7 +215,7 @@ def apply(params, x, cfg: RcnnCfg):
     bx, sc, cl = jax.vmap(head_one)(feat, proposals)
     dets = select_and_nms(bx, sc, cl, cfg.score_thresh, cfg.nms_thresh,
                           cfg.detections_per_image)
-    return dets._asdict()
+    return dets.as_dict()
 
 
 register(ModelDef(

@@ -180,7 +180,7 @@ def apply(params, x, cfg: RetinaFaceCfg):
     classes = jnp.zeros_like(conf)
     dets = select_and_nms(boxes, conf, classes, cfg.conf_thresh, cfg.nms_thresh,
                           cfg.max_det, extras=lmks)
-    return dets._asdict()
+    return dets.as_dict()
 
 
 register(ModelDef(

@@ -301,7 +301,7 @@ def apply(params, x, cfg: Yolo11Cfg):
         from tensorrtx_tpu.ops.nms import select_topk
 
         return select_topk(boxes, conf, cls_id, cfg.conf_thresh,
-                           cfg.max_det, extras=extras)._asdict()
+                           cfg.max_det, extras=extras).as_dict()
 
     dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
                           cfg.max_det, extras=extras, obb=(cfg.task == "obb"))
@@ -311,8 +311,8 @@ def apply(params, x, cfg: Yolo11Cfg):
         masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
                                           proto.astype(jnp.float32),
                                           dets.extras))
-        return dets._asdict() | {"masks": masks}
-    return dets._asdict()
+        return dets.as_dict() | {"masks": masks}
+    return dets.as_dict()
 
 
 # ---------------------------------------------------------------------------

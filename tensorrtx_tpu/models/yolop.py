@@ -197,7 +197,7 @@ def apply(params, x, cfg: YolopCfg):
                 "seg": seg_out, "lane": lane_out}
     dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
                           cfg.max_det)
-    return dets._asdict() | {"seg": seg_out, "lane": lane_out}
+    return dets.as_dict() | {"seg": seg_out, "lane": lane_out}
 
 
 register(ModelDef(

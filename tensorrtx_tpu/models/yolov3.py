@@ -174,7 +174,7 @@ def apply(params, x, cfg: Yolov3Cfg):
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}
     return select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
-                          cfg.nms_thresh, cfg.max_det)._asdict()
+                          cfg.nms_thresh, cfg.max_det).as_dict()
 
 
 register(ModelDef(

@@ -138,7 +138,7 @@ def apply(params, x, cfg: Yolov5Cfg):
         return {"boxes": boxes, "conf": conf, "cls": cls_id}
     dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
                           cfg.max_det)
-    return dets._asdict()
+    return dets.as_dict()
 
 
 register(ModelDef(

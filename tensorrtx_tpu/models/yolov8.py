@@ -171,8 +171,8 @@ def apply(params, x, cfg: Yolov8Cfg):
         proto = B.conv_a(pr["cv3"], q)
         masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
                                           proto.astype(jnp.float32), dets.extras))
-        return dets._asdict() | {"masks": masks}
-    return dets._asdict()
+        return dets.as_dict() | {"masks": masks}
+    return dets.as_dict()
 
 
 register(ModelDef(

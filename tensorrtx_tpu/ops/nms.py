@@ -40,6 +40,14 @@ class Detections(NamedTuple):
     count: Array    # (B,) int32
     extras: Optional[Array] = None  # (B, max_det, E) mask coeffs / kpts / angle
 
+    def as_dict(self):
+        d = self._asdict()
+        ex = d.get("extras")
+        # vmap turns a None extras field into an empty container; drop it
+        if ex is None or (isinstance(ex, (tuple, list)) and len(ex) == 0):
+            d.pop("extras")
+        return d
+
 
 def box_iou_matrix(boxes: Array) -> Array:
     """(N,4) xyxy → (N,N) IoU, reference box_iou (postprocess.cu:74-88):
