@@ -42,6 +42,7 @@ _MODULES = [
     "yolov3",
     "yolov4",
     "yolov5",
+    "yolov5_lite",
     "yolov8",
     "yolop",
 ]
