@@ -41,6 +41,7 @@ _MODULES = [
     "yolo11",
     "yolov3",
     "yolov4",
+    "scaled_yolov4",
     "yolov5",
     "yolov5_lite",
     "yolov8",
