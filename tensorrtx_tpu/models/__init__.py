@@ -28,6 +28,7 @@ _MODULES = [
     "crnn",
     "lprnet",
     "dbnet",
+    "ppocr_det",
     "real_esrgan",
     "superpoint",
     "efficient_ad",
