@@ -29,6 +29,7 @@ _MODULES = [
     "lprnet",
     "dbnet",
     "ppocr_det",
+    "ppocr_rec",
     "real_esrgan",
     "superpoint",
     "efficient_ad",

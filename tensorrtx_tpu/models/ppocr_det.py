@@ -75,9 +75,10 @@ class PpocrDetCfg:
     unclip_ratio: float = 1.5
 
 
-def _conv(wm, name, co, ci, k, groups=1):
+def _conv(wm, name, co, ci, k, groups=1, bias=True):
     w = wm.tensor(f"{name}.w_0", (co, ci // groups, k, k))
-    return {"w": np.transpose(w, (2, 3, 1, 0)), "b": wm.vec(f"{name}.b_0", co)}
+    return {"w": np.transpose(w, (2, 3, 1, 0)),
+            "b": wm.vec(f"{name}.b_0", co) if bias else None}
 
 
 def _bn(wm, name, ch, eps=1e-5):
@@ -95,7 +96,8 @@ def _affine(wm, idx):
 
 
 def build_params(wm, cfg: PpocrDetCfg):
-    p = {"stem": _conv(wm, "conv2d_0", 16, 3, 3),
+    # convBn convs carry no bias (block.cpp:152-163 passes emptywts)
+    p = {"stem": _conv(wm, "conv2d_0", 16, 3, 3, bias=False),
          "stem_bn": _bn(wm, "batch_norm2d_0", 16),
          "backbone": []}
     cin = 16
@@ -158,11 +160,12 @@ def _rep_a(bp, x, k, s, dw):
     y = nn.conv2d(x, bp["conv"]["w"], bp["conv"]["b"], stride=s,
                   padding=k // 2, groups=groups)
     y = y * bp["a0"]["s"].astype(y.dtype) + bp["a0"]["b"].astype(y.dtype)
-    if "se_r" in bp:
-        y = _se(y, bp["se_r"], bp["se_e"], 1.0 / 6.0)
     if "a1" in bp:
         y = _hswish(y)
         y = y * bp["a1"]["s"].astype(y.dtype) + bp["a1"]["b"].astype(y.dtype)
+    # seLayer is applied to the completed rep layer (model.cpp:1450-1458)
+    if "se_r" in bp:
+        y = _se(y, bp["se_r"], bp["se_e"], 1.0 / 6.0)
     return y
 
 
