@@ -34,18 +34,28 @@ _META_FILE = "meta.json"
 _PARAMS_FILE = "params.npz"
 
 
-def _flatten_params(tree) -> Dict[str, np.ndarray]:
+def _flatten_params(tree):
+    """→ (path→ndarray, [paths whose leaf is None]).
+
+    None leaves (e.g. bias-less convs) can't live in an npz; their paths are
+    recorded in meta.json and re-inserted on load so the pytree structure
+    survives the roundtrip."""
     flat = {}
-    leaves_with_path = jax.tree_util.tree_flatten_with_path(tree)[0]
+    none_paths = []
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=lambda x: x is None)[0]
     for path, leaf in leaves_with_path:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if leaf is None:
+            none_paths.append(key)
+            continue
         arr = np.asarray(leaf)
         if arr.dtype == jnp.bfloat16 or arr.dtype.kind == "V":
             # numpy has no bfloat16: store as f32, re-cast on load per the
             # engine's recorded precision
             arr = np.asarray(leaf, dtype=np.float32)
         flat[key] = arr
-    return flat
+    return flat, none_paths
 
 
 class Engine:
@@ -85,7 +95,7 @@ class Engine:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        flat = _flatten_params(self.params)
+        flat, none_paths = _flatten_params(self.params)
         np.savez(os.path.join(path, _PARAMS_FILE), **flat)
         treedef = jax.tree_util.tree_structure(self.params)
         meta = {
@@ -93,6 +103,7 @@ class Engine:
             "precision": self.precision,
             "cfg": dataclasses.asdict(self.cfg) if dataclasses.is_dataclass(self.cfg) else self.cfg,
             "treedef": str(treedef),
+            "none_paths": none_paths,
             "format_version": 1,
         }
         with open(os.path.join(path, _META_FILE), "w") as f:
@@ -114,7 +125,7 @@ class Engine:
         data = np.load(os.path.join(path, _PARAMS_FILE))
         # Rebuild the pytree by re-running build-time structure with stored leaves:
         # we store flattened path→leaf; reconstruct nested dict/list structure.
-        params = _unflatten(dict(data))
+        params = _unflatten(dict(data), meta.get("none_paths", ()))
         precision = meta["precision"]
         if precision in ("bf16", "bfloat16", "fp16", "float16"):
             dtype = resolve_dtype(precision)
@@ -142,10 +153,13 @@ class Engine:
             f.write(exported.serialize())
 
 
-def _unflatten(flat: Dict[str, np.ndarray]):
+def _unflatten(flat: Dict[str, np.ndarray], none_paths=()):
     """Invert _flatten_params for nested dicts (list indices become str keys)."""
     root: Dict[str, Any] = {}
-    for key, val in flat.items():
+    # Nones first so digit-keyed levels keep dense indices before list
+    # reconstruction below.
+    for key in list(none_paths) + list(flat.keys()):
+        val = flat.get(key)
         parts = key.split("/")
         node = root
         for p in parts[:-1]:

@@ -46,6 +46,7 @@ _MODULES = [
     "scaled_yolov4",
     "yolov5",
     "yolov5_lite",
+    "yolov7",
     "yolov8",
     "yolop",
 ]
