@@ -47,6 +47,7 @@ _MODULES = [
     "yolov5",
     "yolov5_lite",
     "yolov7",
+    "yolov9",
     "yolov8",
     "yolop",
 ]

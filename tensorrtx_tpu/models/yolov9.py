@@ -1,0 +1,236 @@
+"""YOLOv9-c — GELAN backbone (RepNCSPELAN4/ADown) + PGI CBLinear/CBFuse
+reversible branch + anchor-free DFL detect.
+
+Reference: yolov9/src/model.cpp:557-729 (build_engine_yolov9_c),
+yolov9/src/block.cpp (RepConvN :156, RepNBottleneck :172, RepNCSP :185,
+RepNCSPELAN4 :230, ADown :264, CBLinear :292, CBFuse :314, SPPELAN :342,
+DualDDetect :424, DFL :376). Decode is the v8 family (DFL distances →
+ltrb at anchor points, sigmoid cls), shared via ops.detect / ops.nn.dfl.
+
+Note: the reference's inference graph computes PAN layers model.11-22 but
+never feeds them to DualDDetect (model.cpp:574-596 vs :616) — TRT prunes
+them as dead code, and we simply don't build them; detection runs on the
+reversible-branch outputs model.31/34/37, matching the deployed engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.models import _yolo_blocks as B
+from tensorrtx_tpu.ops import detect as D
+from tensorrtx_tpu.ops import nn
+from tensorrtx_tpu.ops.nms import select_and_nms
+
+
+@dataclasses.dataclass
+class Yolov9Cfg:
+    num_classes: int = 80
+    input_h: int = 640
+    input_w: int = 640
+    reg_max: int = 16
+    conf_thresh: float = 0.5
+    nms_thresh: float = 0.45
+    max_det: int = 300
+    postprocess: str = "nms"
+
+
+def _repconvn_p(wm, name, ci, co):
+    return {"conv1": B.conv_p(wm, f"{name}.conv1", ci, co, 3),
+            "conv2": B.conv_p(wm, f"{name}.conv2", ci, co, 1)}
+
+
+def _repncsp_p(wm, name, ci, co, n=1):
+    c_ = co // 2
+    return {"cv1": B.conv_p(wm, f"{name}.cv1", ci, c_, 1),
+            "cv2": B.conv_p(wm, f"{name}.cv2", ci, c_, 1),
+            "cv3": B.conv_p(wm, f"{name}.cv3", 2 * c_, co, 1),
+            "m": [{"cv1": _repconvn_p(wm, f"{name}.m.{i}.cv1", c_, c_),
+                   "cv2": B.conv_p(wm, f"{name}.m.{i}.cv2", c_, c_, 3)}
+                  for i in range(n)]}
+
+
+def _elan4_p(wm, name, ci, c2, c3, c4, n=1):
+    return {"cv1": B.conv_p(wm, f"{name}.cv1", ci, c3, 1),
+            "cv2_0": _repncsp_p(wm, f"{name}.cv2.0", c3 // 2, c4, n),
+            "cv2_1": B.conv_p(wm, f"{name}.cv2.1", c4, c4, 3),
+            "cv3_0": _repncsp_p(wm, f"{name}.cv3.0", c4, c4, n),
+            "cv3_1": B.conv_p(wm, f"{name}.cv3.1", c4, c4, 3),
+            "cv4": B.conv_p(wm, f"{name}.cv4", c3 + 2 * c4, c2, 1)}
+
+
+def _adown_p(wm, name, ci, co):
+    c_ = co // 2
+    return {"cv1": B.conv_p(wm, f"{name}.cv1", ci // 2, c_, 3),
+            "cv2": B.conv_p(wm, f"{name}.cv2", ci // 2, c_, 1)}
+
+
+def _sppelan_p(wm, name, ci, co, c3):
+    return {"cv1": B.conv_p(wm, f"{name}.cv1", ci, c3, 1),
+            "cv5": B.conv_p(wm, f"{name}.cv5", 4 * c3, co, 1)}
+
+
+def build_params(wm, cfg: Yolov9Cfg):
+    p = {
+        "c1": B.conv_p(wm, "model.1", 3, 64, 3),
+        "c2": B.conv_p(wm, "model.2", 64, 128, 3),
+        "e3": _elan4_p(wm, "model.3", 128, 256, 128, 64),
+        "a4": _adown_p(wm, "model.4", 256, 256),
+        "e5": _elan4_p(wm, "model.5", 256, 512, 256, 128),
+        "a6": _adown_p(wm, "model.6", 512, 512),
+        "e7": _elan4_p(wm, "model.7", 512, 512, 512, 256),
+        "a8": _adown_p(wm, "model.8", 512, 512),
+        "e9": _elan4_p(wm, "model.9", 512, 512, 512, 256),
+        "spp10": _sppelan_p(wm, "model.10", 512, 512, 256),
+        # reversible branch (PGI)
+        "cbl23": wm.conv2d("model.23.conv", 256, 512, (1, 1)),
+        "cbl24": wm.conv2d("model.24.conv", 256 + 512, 512, (1, 1)),
+        "cbl25": wm.conv2d("model.25.conv", 256 + 512 + 512, 512, (1, 1)),
+        "c26": B.conv_p(wm, "model.26", 3, 64, 3),
+        "c27": B.conv_p(wm, "model.27", 64, 128, 3),
+        "e28": _elan4_p(wm, "model.28", 128, 256, 128, 64),
+        "a29": _adown_p(wm, "model.29", 256, 256),
+        "e31": _elan4_p(wm, "model.31", 256, 512, 256, 128),
+        "a32": _adown_p(wm, "model.32", 512, 512),
+        "e34": _elan4_p(wm, "model.34", 512, 512, 512, 256),
+        "a35": _adown_p(wm, "model.35", 512, 512),
+        "e37": _elan4_p(wm, "model.37", 512, 512, 512, 256),
+    }
+    ch = (512, 512, 512)
+    nc = cfg.num_classes
+    c2 = max(ch[0] // 4, cfg.reg_max * 4)
+    c3 = max(ch[0], min(nc * 2, 128))
+    head = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(ch):
+        head["cv2"].append({
+            "a": B.conv_p(wm, f"model.38.cv2.{i}.0", ci, c2, 3),
+            "b": B.conv_p(wm, f"model.38.cv2.{i}.1", c2, c2, 3, groups=4),
+            "c": wm.conv2d(f"model.38.cv2.{i}.2", cfg.reg_max * 4, c2,
+                           (1, 1), groups=4),  # grouped 1x1 (block.cpp:362)
+        })
+        head["cv3"].append({
+            "a": B.conv_p(wm, f"model.38.cv3.{i}.0", ci, c3, 3),
+            "b": B.conv_p(wm, f"model.38.cv3.{i}.1", c3, c3, 3),
+            "c": wm.conv2d(f"model.38.cv3.{i}.2", nc, c3, (1, 1)),
+        })
+    p["head"] = head
+    return p
+
+
+def _repconvn_a(rp, x):
+    y = (B.conv_a(rp["conv1"], x, act=False)
+         + B.conv_a(rp["conv2"], x, act=False))
+    return nn.silu(y)
+
+
+def _repncsp_a(np_, x):
+    y = B.conv_a(np_["cv1"], x)
+    for m in np_["m"]:
+        h = B.conv_a(m["cv2"], _repconvn_a(m["cv1"], y))
+        y = y + h   # shortcut (c1 == c2 always in this family)
+    y2 = B.conv_a(np_["cv2"], x)
+    return B.conv_a(np_["cv3"], jnp.concatenate([y, y2], -1))
+
+
+def _elan4_a(ep, x):
+    y = B.conv_a(ep["cv1"], x)
+    half = y.shape[-1] // 2
+    s1, s2 = y[..., :half], y[..., half:]
+    y2 = B.conv_a(ep["cv2_1"], _repncsp_a(ep["cv2_0"], s2))
+    y3 = B.conv_a(ep["cv3_1"], _repncsp_a(ep["cv3_0"], y2))
+    return B.conv_a(ep["cv4"], jnp.concatenate([s1, s2, y2, y3], -1))
+
+
+def _adown_a(ap, x):
+    # avg_pool k2 s1 (shrinks H,W by 1), split channels, two downsample paths
+    y = nn.avg_pool(x, 2, 1)
+    half = y.shape[-1] // 2
+    y1 = B.conv_a(ap["cv1"], y[..., :half], stride=2)
+    y2 = B.conv_a(ap["cv2"], nn.max_pool(y[..., half:], 3, 2, 1))
+    return jnp.concatenate([y1, y2], -1)
+
+
+def _sppelan_a(sp, x):
+    y = B.conv_a(sp["cv1"], x)
+    m1 = nn.max_pool(y, 5, 1, 2)
+    m2 = nn.max_pool(m1, 5, 1, 2)
+    m3 = nn.max_pool(m2, 5, 1, 2)
+    return B.conv_a(sp["cv5"], jnp.concatenate([y, m1, m2, m3], -1))
+
+
+def _branch3(p, f, groups=1):
+    y = B.conv_a(p["a"], f)
+    y = B.conv_a(p["b"], y, groups=groups)
+    return nn.conv2d(y, p["c"]["w"], p["c"]["b"], groups=groups)
+
+
+def apply(params, x, cfg: Yolov9Cfg):
+    y = B.conv_a(params["c1"], x, stride=2)
+    y = B.conv_a(params["c2"], y, stride=2)
+    y = _elan4_a(params["e3"], y)
+    y = _adown_a(params["a4"], y)
+    e5 = _elan4_a(params["e5"], y)
+    y = _adown_a(params["a6"], e5)
+    e7 = _elan4_a(params["e7"], y)
+    y = _adown_a(params["a8"], e7)
+    e9 = _elan4_a(params["e9"], y)
+    spp = _sppelan_a(params["spp10"], e9)
+    del spp  # only feeds the pruned PAN (see module docstring)
+
+    # CBLinear taps: one 1x1 conv per scale, outputs split per target level
+    cbl23 = nn.conv2d(e5, params["cbl23"]["w"], params["cbl23"]["b"])
+    cbl24 = nn.conv2d(e7, params["cbl24"]["w"], params["cbl24"]["b"])
+    cbl25 = nn.conv2d(e9, params["cbl25"]["w"], params["cbl25"]["b"])
+
+    y = B.conv_a(params["c26"], x, stride=2)
+    y = B.conv_a(params["c27"], y, stride=2)
+    y = _elan4_a(params["e28"], y)
+    a29 = _adown_a(params["a29"], y)
+    # CBFuse: upsample each tap to the base level and sum (block.cpp:314-341)
+    f30 = (a29 + cbl23[..., :256]
+           + nn.upsample_nearest(cbl24[..., :256], 2)
+           + nn.upsample_nearest(cbl25[..., :256], 4))
+    p3 = _elan4_a(params["e31"], f30)
+    a32 = _adown_a(params["a32"], p3)
+    f33 = (a32 + cbl24[..., 256:768]
+           + nn.upsample_nearest(cbl25[..., 256:768], 2))
+    p4 = _elan4_a(params["e34"], f33)
+    a35 = _adown_a(params["a35"], p4)
+    f36 = a35 + cbl25[..., 768:1280]
+    p5 = _elan4_a(params["e37"], f36)
+
+    feats = [p3, p4, p5]
+    box_lv = [_branch3(params["head"]["cv2"][i], f, groups=4)
+              for i, f in enumerate(feats)]
+    cls_lv = [_branch3(params["head"]["cv3"][i], f)
+              for i, f in enumerate(feats)]
+    b = x.shape[0]
+    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
+                                for v in box_lv], 1)
+    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
+                                  for v in cls_lv], 1)
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
+                                              (8, 16, 32))
+    ltrb = nn.dfl(box_dist, cfg.reg_max)
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    conf = jnp.max(probs, -1)
+    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+    if cfg.postprocess == "raw":
+        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+    return select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det).as_dict()
+
+
+register(ModelDef(
+    name="yolov9",
+    build_params=build_params,
+    apply=apply,
+    default_cfg=Yolov9Cfg,
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="YOLOv9-c, GELAN + PGI reversible branch (reference: yolov9/)",
+))
