@@ -48,6 +48,8 @@ _MODULES = [
     "yolov5_lite",
     "yolov7",
     "yolov9",
+    "yolov12",
+    "yolo26",
     "yolov8",
     "yolop",
 ]
