@@ -50,6 +50,7 @@ _MODULES = [
     "yolov9",
     "yolov12",
     "yolo26",
+    "swin",
     "yolov8",
     "yolop",
 ]
