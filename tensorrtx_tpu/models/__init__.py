@@ -30,6 +30,7 @@ _MODULES = [
     "dbnet",
     "ppocr_det",
     "ppocr_rec",
+    "psenet",
     "real_esrgan",
     "superpoint",
     "efficient_ad",
