@@ -22,6 +22,7 @@ _MODULES = [
     "ghostnet",
     "ibnnet",
     "hrnet",
+    "hrnet_seg",
     "efficientnet",
     "arcface",
     "retinaface",

@@ -148,7 +148,11 @@ def _bottleneck_a(bp, x, stride=1):
     return jax.nn.relu(y + sc)
 
 
-def _module_a(mp, xs):
+def _module_a(mp, xs, up=None):
+    """up: upsample fn (t, scale) → t; cls uses nearest (this file), the
+    seg variant passes bilinear align_corners (hrnet_seg.py)."""
+    if up is None:
+        up = lambda t, s: nn.upsample_nearest(t, s)
     nb = len(xs)
     ys = []
     for b in range(nb):
@@ -165,7 +169,7 @@ def _module_a(mp, xs):
             key = f"{i}_{j}"
             if j > i:
                 t = _cbr(mp["fuse"][key][0], ys[j], relu=False)
-                t = nn.upsample_nearest(t, 2 ** (j - i))
+                t = up(t, 2 ** (j - i))
             else:
                 t = ys[j]
                 steps = mp["fuse"][key]
