@@ -26,7 +26,8 @@ class RandomWeightMap(WeightMap):
     def tensor(self, name, shape):
         shape = tuple(int(s) for s in shape)
         if name not in self.raw:
-            if name.endswith(("running_var", ".w_2", "moving_variance")):
+            if name.endswith(("running_var", ".w_2", "moving_variance",
+                              "moving_var")):
                 # torch / paddle / TF BN variance must be positive
                 t = self.rng.uniform(0.5, 1.5, shape)
             elif name.endswith("bn.weight") or name.endswith(".weight") and len(shape) == 1:

@@ -26,6 +26,7 @@ _MODULES = [
     "efficientnet",
     "arcface",
     "retinaface",
+    "retinaface_anticov",
     "crnn",
     "lprnet",
     "dbnet",
