@@ -52,6 +52,7 @@ _MODULES = [
     "yolov7",
     "yolov9",
     "yolov12",
+    "yolov13",
     "yolo26",
     "swin",
     "yolov8",
