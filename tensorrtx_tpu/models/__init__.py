@@ -27,6 +27,7 @@ _MODULES = [
     "arcface",
     "retinaface",
     "retinaface_anticov",
+    "refinedet",
     "crnn",
     "lprnet",
     "dbnet",
