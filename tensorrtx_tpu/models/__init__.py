@@ -58,6 +58,13 @@ _MODULES = [
     "swin",
     "yolov8",
     "yolop",
+    "ppocr_lcnet",
+    "ppocr_hgnet",
+    "ppocr_uvdoc",
+    "ppocr_slanet",
+    "ppocr_slanext",
+    "ppocr_rtdetr",
+    "ppocr_formula",
 ]
 
 _loaded = False
@@ -70,6 +77,9 @@ def load_all():
     for mod in _MODULES:
         try:
             importlib.import_module(f"tensorrtx_tpu.models.{mod}")
-        except ImportError:
-            pass  # model not implemented yet
+        except ModuleNotFoundError as e:
+            # Tolerate only a genuinely absent model module; a typo'd import
+            # inside an existing module must surface, not vanish.
+            if e.name != f"tensorrtx_tpu.models.{mod}":
+                raise
     _loaded = True
