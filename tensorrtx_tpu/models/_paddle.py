@@ -53,7 +53,8 @@ def by_prefix_order(wm, prefix, order):
                         break
                 n = int(digits) if digits else 0
             matched.append((n, key))
-    if not matched:
+    fabricates = "__prefix_order_probe__" in wm  # RandomWeightMap: always True
+    if not matched or (order >= len(matched) and fabricates):
         # RandomWeightMap: fabricate a deterministic per-order name
         return prefix if order == 0 else f"{prefix}_deepcopy_{order}"
     matched.sort()
@@ -104,6 +105,26 @@ def plinear_part(wm, name, ci, co, part, n_parts=3):
     b = wm.vec(by_prefix(wm, f"{name}.b_0"), co * n_parts)
     return {"w": w[:, part * co:(part + 1) * co].copy(),
             "b": b[part * co:(part + 1) * co].copy()}
+
+
+def plinear_ord(wm, name, order, ci, co, bias=True):
+    """addLinearByPrefixOrder: Paddle deepcopy-cloned linear, nth clone."""
+    w = wm.tensor(by_prefix_order(wm, f"{name}.w_0", order), (ci, co))
+    b = wm.vec(by_prefix_order(wm, f"{name}.b_0", order), co) if bias else None
+    return {"w": w, "b": b}
+
+
+def plinear_part_ord(wm, name, order, ci, co, part, n_parts=3):
+    """addLinearPartByPrefixOrder: fused-qkv column slice of the nth clone."""
+    w = wm.tensor(by_prefix_order(wm, f"{name}.w_0", order), (ci, co * n_parts))
+    b = wm.vec(by_prefix_order(wm, f"{name}.b_0", order), co * n_parts)
+    return {"w": w[:, part * co:(part + 1) * co].copy(),
+            "b": b[part * co:(part + 1) * co].copy()}
+
+
+def pln_ord(wm, name, order, ch):
+    return {"g": wm.vec(by_prefix_order(wm, f"{name}.w_0", order), ch),
+            "b": wm.vec(by_prefix_order(wm, f"{name}.b_0", order), ch)}
 
 
 def pln(wm, name, ch):
