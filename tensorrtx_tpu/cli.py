@@ -100,6 +100,98 @@ def cmd_list(args):
         print(m)
 
 
+def cmd_ppocr(args):
+    """Multi-mode PP-OCRv5 system (≙ ppocr_system.cpp modes)."""
+    import numpy as np
+
+    from tensorrtx_tpu.core.runner import load_image
+    from tensorrtx_tpu.pipelines import ppocr_system as S
+
+    files = S.read_images(args.image_path)
+    if not files:
+        print(f"no images in {args.image_path}", file=sys.stderr)
+        return 1
+    modes = (["ocr", "classify", "layout", "table", "uvdoc", "formula"]
+             if args.mode == "all" else [args.mode])
+    wts = _parse_wts_map(args.wts)
+
+    for mode in modes:
+        if mode == "ocr":
+            variant = "server" if args.variant == "s" else "mobile"
+            det_name = ("ppocrv5_server_det" if variant == "server"
+                        else "ppocrv5_det")
+            rec_name = ("ppocrv5_server_rec" if variant == "server"
+                        else "ppocrv5_rec")
+            det = S.build_model(det_name, wts.get(det_name))
+            rec = S.build_model(rec_name, wts.get(rec_name))
+            if args.dict:
+                dictionary = S.load_rec_dictionary(args.dict)
+            else:
+                dictionary = [chr(c) for c in range(33, 127)]
+                print("# no --dict: using ascii fallback charset",
+                      file=sys.stderr)
+            for f in files:
+                img = np.asarray(load_image(f))
+                for line in S.run_ocr(det, rec, img, dictionary):
+                    box = [[round(float(v), 1) for v in pt]
+                           for pt in line.box]
+                    print(json.dumps({"image": f, "mode": "ocr", "box": box,
+                                      "text": line.text,
+                                      "conf": round(line.confidence, 4)},
+                                     ensure_ascii=False))
+        elif mode == "formula":
+            from tensorrtx_tpu.pipelines.formula import (FormulaPipeline,
+                                                         FormulaTokenizer)
+
+            eng = S.build_model("pp_formulanet_plus_l",
+                                wts.get("pp_formulanet_plus_l"))
+            tok = FormulaTokenizer(yaml_path=args.formula_yaml) \
+                if args.formula_yaml else FormulaTokenizer(vocab={})
+            pipe = FormulaPipeline(eng, tok)
+            for f in files:
+                img = np.asarray(load_image(f))
+                r = pipe(img)
+                print(json.dumps({"image": f, "mode": "formula",
+                                  "tokens": r["tokens"],
+                                  "latex": r["latex"]}, ensure_ascii=False))
+        else:
+            for name in S.MODE_MODELS[mode]:
+                eng = S.build_model(name, wts.get(name))
+                for f in files:
+                    img = np.asarray(load_image(f))
+                    out = S.run_generic(eng, name, img)
+                    print(json.dumps({"image": f, "mode": mode,
+                                      "model": name,
+                                      "summary": S.summarize(out)
+                                      if not isinstance(out, (list, dict))
+                                      else str(out)[:400]},
+                                     ensure_ascii=False))
+    return 0
+
+
+def _parse_wts_map(kvs):
+    """--wts model=path pairs → dict (absent models run random weights)."""
+    out = {}
+    for kv in kvs or []:
+        k, v = kv.split("=", 1)
+        out[k] = v
+    return out
+
+
+def cmd_dump(args):
+    from tensorrtx_tpu.tools.dump import compare_dumps, run_dump
+
+    if args.compare:
+        report = compare_dumps(args.prefix, args.compare,
+                               max_abs=args.max_abs)
+        print(json.dumps(report, indent=2))
+        return 0 if report["pass"] else 1
+    manifest = run_dump(args.model, args.prefix, wts=args.wts,
+                        input_npy=args.input, **_parse_set(args.set))
+    print(json.dumps(manifest, indent=2))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tensorrtx_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -126,6 +218,29 @@ def main(argv=None):
 
     l = sub.add_parser("list", help="list registered models")
     l.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("ppocr", help="PP-OCRv5 system (≙ ppocr_system)")
+    p.add_argument("mode", choices=["ocr", "classify", "layout", "table",
+                                    "uvdoc", "formula", "all"])
+    p.add_argument("image_path")
+    p.add_argument("--variant", default="m", choices=["m", "s"],
+                   help="OCR det/rec variant: m(obile) or s(erver)")
+    p.add_argument("--wts", action="append", metavar="MODEL=PATH",
+                   help="per-model .wts (default: random weights, smoke)")
+    p.add_argument("--dict", help="rec dictionary txt/yml")
+    p.add_argument("--formula-yaml", help="FormulaNet tokenizer yaml")
+    p.set_defaults(fn=cmd_ppocr)
+
+    d = sub.add_parser("dump", help="tensor-dump parity tool (≙ ppocrv5_dump)")
+    d.add_argument("model")
+    d.add_argument("prefix", help="output prefix (writes .npz + .json)")
+    d.add_argument("-w", "--wts")
+    d.add_argument("--input", help=".npy input instead of synthetic")
+    d.add_argument("--compare", metavar="OTHER_PREFIX",
+                   help="diff against another dump instead of running")
+    d.add_argument("--max-abs", type=float, default=0.2)
+    d.add_argument("--set", action="append", metavar="KEY=VAL")
+    d.set_defaults(fn=cmd_dump)
 
     args = ap.parse_args(argv)
     return args.fn(args) or 0
