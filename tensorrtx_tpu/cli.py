@@ -70,24 +70,36 @@ def cmd_run(args):
     from tensorrtx_tpu.core.runner import (ServingPipeline, load_image,
                                            read_files_in_dir)
 
+    from tensorrtx_tpu.core.tasks import run_task, task_for
+
     eng = load_engine(args.engine)
-    files = read_files_in_dir(args.image_dir)
+    import os
+
+    files = ([args.image_dir] if os.path.isfile(args.image_dir)
+             else read_files_in_dir(args.image_dir))
     if not files:
         print(f"no images in {args.image_dir}", file=sys.stderr)
         return 1
     imgs = [load_image(f) for f in files]
-    max_h = max(i.shape[0] for i in imgs)
-    max_w = max(i.shape[1] for i in imgs)
-    pipe = ServingPipeline(eng, src_h=max_h, src_w=max_w, donate=False)
+    task = task_for(eng.model.name)
     t0 = time.perf_counter()
-    for i in range(0, len(imgs), args.batch):
-        chunk = imgs[i:i + args.batch]
-        res = pipe.detect_images(chunk)
-        for f, r in zip(files[i:i + args.batch], res):
-            dets = [{"box": [round(float(v), 1) for v in b],
-                     "score": round(float(s), 3), "class": int(c)}
-                    for b, s, c in zip(r["boxes"], r["scores"], r["classes"])]
-            print(json.dumps({"image": f, "detections": dets}))
+    if task == "detect":
+        max_h = max(i.shape[0] for i in imgs)
+        max_w = max(i.shape[1] for i in imgs)
+        pipe = ServingPipeline(eng, src_h=max_h, src_w=max_w, donate=False)
+        for i in range(0, len(imgs), args.batch):
+            chunk = imgs[i:i + args.batch]
+            res = pipe.detect_images(chunk)
+            for f, r in zip(files[i:i + args.batch], res):
+                dets = [{"box": [round(float(v), 1) for v in b],
+                         "score": round(float(s), 3), "class": int(c)}
+                        for b, s, c in zip(r["boxes"], r["scores"],
+                                           r["classes"])]
+                print(json.dumps({"image": f, "detections": dets}))
+    else:
+        for f, img in zip(files, imgs):
+            out = run_task(eng, img)
+            print(json.dumps({"image": f, **out}, ensure_ascii=False))
     dt = time.perf_counter() - t0
     print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms", file=sys.stderr)
     return 0
