@@ -42,7 +42,7 @@ TASKS: Dict[str, str] = {
     **{m: "detect" for m in (
         "yolov3", "yolov4", "scaled-yolov4", "yolov5", "yolov5-lite",
         "yolov7", "yolov8", "yolov9", "yolo11", "yolov12", "yolov13",
-        "yolo26", "yolop", "refinedet", "retinaface", "retinaface-anticov",
+        "yolo26", "yolov10", "yolov3-tiny", "yolop", "refinedet", "retinaface", "retinaface-anticov",
         "rcnn", "detr")},
     # segmentation
     **{m: "segment" for m in ("unet", "hrnet-seg", "swin", "psenet")},

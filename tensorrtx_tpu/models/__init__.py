@@ -55,6 +55,7 @@ _MODULES = [
     "yolov12",
     "yolov13",
     "yolo26",
+    "yolov10",
     "swin",
     "yolov8",
     "yolop",

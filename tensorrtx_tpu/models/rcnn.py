@@ -38,6 +38,7 @@ STRIDE = 16
 @dataclasses.dataclass
 class RcnnCfg:
     variant: str = "resnet50"
+    task: str = "det"            # det | mask (Mask R-CNN head)
     num_classes: int = 80
     input_h: int = 480
     input_w: int = 640
@@ -103,6 +104,16 @@ def build_params(wm, cfg: RcnnCfg):
         "bbox_pred": wm.linear("roi_heads.box_predictor.bbox_pred",
                                cfg.num_classes * 4, 2048),
     }
+    if cfg.task == "mask":
+        # MaskHead (rcnn.cpp:204-233): shared res5 RoI transform → 2x2
+        # deconv + relu → 1x1 predictor; per-det class gather + sigmoid
+        # (MaskRcnnInference.cu:8-60)
+        dw = wm.tensor("roi_heads.mask_head.deconv.weight", (2048, 256, 2, 2))
+        p["mask_deconv"] = {"w": np.transpose(dw, (2, 3, 1, 0)),
+                            "b": wm.vec("roi_heads.mask_head.deconv.bias",
+                                        256)}
+        p["mask_pred"] = _conv(wm, "roi_heads.mask_head.predictor",
+                               cfg.num_classes, 256, 1)
     return p
 
 
@@ -215,7 +226,29 @@ def apply(params, x, cfg: RcnnCfg):
     bx, sc, cl = jax.vmap(head_one)(feat, proposals)
     dets = select_and_nms(bx, sc, cl, cfg.score_thresh, cfg.nms_thresh,
                           cfg.detections_per_image)
-    return dets.as_dict()
+    if cfg.task != "mask":
+        return dets.as_dict()
+
+    def mask_one(f, boxes, classes):
+        pooled = roi_align(f, boxes, 1.0 / STRIDE,
+                           (cfg.pooler_resolution, cfg.pooler_resolution),
+                           sampling_ratio=2)
+        z = pooled
+        for i, bp in enumerate(params["res5"]):
+            z = _bottleneck_a(bp, z, 2 if i == 0 else 1)
+        z = nn.conv_transpose2d(z, params["mask_deconv"]["w"],
+                                params["mask_deconv"]["b"], stride=2)
+        z = jax.nn.relu(z)
+        logits = nn.conv2d(z, params["mask_pred"]["w"],
+                           params["mask_pred"]["b"])  # (D, S, S, nc)
+        # per-det class-channel gather (MaskRcnnInference.cu:18-31)
+        idx = classes.astype(jnp.int32)[:, None, None, None]
+        sel = jnp.take_along_axis(logits, jnp.broadcast_to(
+            idx, logits.shape[:3] + (1,)), axis=-1)[..., 0]
+        return jax.nn.sigmoid(sel.astype(jnp.float32))  # (D, S, S)
+
+    masks = jax.vmap(mask_one)(feat, dets.boxes, dets.classes)
+    return dets.as_dict() | {"masks": masks}
 
 
 register(ModelDef(

@@ -27,6 +27,7 @@ from tensorrtx_tpu.ops.nms import select_topk
 @dataclasses.dataclass
 class Yolo26Cfg:
     scale: str = "n"
+    task: str = "det"           # det | obb | cls
     num_classes: int = 80
     input_h: int = 640
     input_w: int = 640
@@ -68,7 +69,30 @@ def _c3k2_attn_a(p, x):
     return B.conv_a(p["cv2"], jnp.concatenate(parts, axis=-1))
 
 
+def _build_cls_params(wm, cfg):
+    """buildEngineYolo26Cls (model.cpp:874-...): backbone 0..8 + C2PSA at
+    model.9 + Classify head model.10 (1x1 conv 1280 → GAP → linear)."""
+    w, d = _chans(cfg)
+    c3k = cfg.scale in ("m", "l", "x")
+    return {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c3k2_p(wm, "model.2", w(128), w(256), d(2), c3k, e=0.25),
+        "m3": B.conv_p(wm, "model.3", w(256), w(256), 3),
+        "m4": B.c3k2_p(wm, "model.4", w(256), w(512), d(2), c3k, e=0.25),
+        "m5": B.conv_p(wm, "model.5", w(512), w(512), 3),
+        "m6": B.c3k2_p(wm, "model.6", w(512), w(512), d(2), True, e=0.5),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c3k2_p(wm, "model.8", w(1024), w(1024), d(2), True, e=0.5),
+        "m9": B.c2psa_p(wm, "model.9", w(1024), w(1024), d(2)),
+        "m10_conv": B.conv_p(wm, "model.10.conv", w(1024), 1280, 1),
+        "m10_linear": wm.linear("model.10.linear", cfg.num_classes, 1280),
+    }
+
+
 def build_params(wm, cfg: Yolo26Cfg):
+    if cfg.task == "cls":
+        return _build_cls_params(wm, cfg)
     w, d = _chans(cfg)
     c3k = cfg.scale in ("m", "l", "x")
     p = {
@@ -116,10 +140,33 @@ def build_params(wm, cfg: Yolo26Cfg):
             "c": wm.conv2d(f"model.23.one2one_cv3.{i}.2", nc, c3, (1, 1)),
         })
     p["head"] = head
+    if cfg.task == "obb":
+        # one2one_cv4 angle branch (buildEngineYolo26Obb, model.cpp:414-)
+        p["cv4"] = [{
+            "a": B.conv_p(wm, f"model.23.one2one_cv4.{i}.0", ci, c2 // 4, 3),
+            "b": B.conv_p(wm, f"model.23.one2one_cv4.{i}.1", c2 // 4,
+                          c2 // 4, 3),
+            "c": wm.conv2d(f"model.23.one2one_cv4.{i}.2", 1, c2 // 4, (1, 1)),
+        } for i, ci in enumerate(ch)]
     return p
 
 
 def apply(params, x, cfg: Yolo26Cfg):
+    if cfg.task == "cls":
+        y = B.conv_a(params["m0"], x, stride=2)
+        y = B.conv_a(params["m1"], y, stride=2)
+        y = B.c3k2_a(params["m2"], y)
+        y = B.conv_a(params["m3"], y, stride=2)
+        y = B.c3k2_a(params["m4"], y)
+        y = B.conv_a(params["m5"], y, stride=2)
+        y = B.c3k2_a(params["m6"], y)
+        y = B.conv_a(params["m7"], y, stride=2)
+        y = B.c3k2_a(params["m8"], y)
+        y = B.c2psa_a(params["m9"], y)
+        y = B.conv_a(params["m10_conv"], y)
+        y = nn.global_avg_pool(y)
+        return nn.linear(y, params["m10_linear"]["w"],
+                         params["m10_linear"]["b"])
     y = B.conv_a(params["m0"], x, stride=2)
     y = B.conv_a(params["m1"], y, stride=2)
     y = B.c3k2_a(params["m2"], y)
@@ -157,14 +204,31 @@ def apply(params, x, cfg: Yolo26Cfg):
     cls_logits = _flatten_levels(cls_lv).astype(jnp.float32)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     probs = jax.nn.sigmoid(cls_logits)
     conf = jnp.max(probs, -1)
     cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+
+    extras = None
+    if cfg.task == "obb":
+        ang_lv = []
+        for i, f in enumerate(feats):
+            q = params["cv4"][i]
+            ya = B.conv_a(q["b"], B.conv_a(q["a"], f))
+            ang_lv.append(nn.conv2d(ya, q["c"]["w"], q["c"]["b"]))
+        ang_raw = _flatten_levels(ang_lv)[..., 0].astype(jnp.float32)
+        cx, cy, w_, h_, ang = D.decode_obb(ltrb, ang_raw, points,
+                                           strides_flat)
+        boxes = jnp.stack([cx, cy, w_, h_], axis=-1)
+        extras = ang[..., None]
+    else:
+        boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
-        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        return out
     return select_topk(boxes, conf, cls_id, cfg.conf_thresh,
-                       cfg.max_det).as_dict()
+                       cfg.max_det, extras=extras).as_dict()
 
 
 register(ModelDef(

@@ -33,6 +33,7 @@ _ATTN_SCALE = 0.176777  # hardcoded in block.cpp:526 (≈ 1/√32)
 @dataclasses.dataclass
 class Yolov12Cfg:
     scale: str = "n"
+    task: str = "det"    # det | cls | seg (yolov12-tubro mains)
     num_classes: int = 80
     input_h: int = 640
     input_w: int = 640
@@ -123,7 +124,29 @@ def _a2c2f_a(p, x, area):
     return B.conv_a(p["cv2"], cat)
 
 
+def _build_cls_params(wm, cfg):
+    """buildEngineYolov12Cls (yolov12-tubro model.cpp:133-226):
+    backbone 0..8 → 1x1 conv 1280 → GAP → linear."""
+    w, d = _chans(cfg)
+    c3k = cfg.scale in ("m", "l", "x")
+    return {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c3k2_p(wm, "model.2", w(128), w(256), d(2), c3k, e=0.25),
+        "m3": B.conv_p(wm, "model.3", w(256), w(256), 3),
+        "m4": B.c3k2_p(wm, "model.4", w(256), w(512), d(2), c3k, e=0.25),
+        "m5": B.conv_p(wm, "model.5", w(512), w(512), 3),
+        "m6": _a2c2f_p(wm, "model.6", w(512), w(512), True),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": _a2c2f_p(wm, "model.8", w(1024), w(1024), True),
+        "m9_conv": B.conv_p(wm, "model.9.conv", w(1024), 1280, 1),
+        "m9_linear": wm.linear("model.9.linear", cfg.num_classes, 1280),
+    }
+
+
 def build_params(wm, cfg: Yolov12Cfg):
+    if cfg.task == "cls":
+        return _build_cls_params(wm, cfg)
     w, d = _chans(cfg)
     c3k = cfg.scale in ("m", "l", "x")
     p = {
@@ -146,6 +169,25 @@ def build_params(wm, cfg: Yolov12Cfg):
     }
     cfg11 = _Cfg11Shim(cfg)
     p["head"] = _det_head_p(wm, cfg11, "model.21", cfg.num_classes)
+    if cfg.task == "seg":
+        import numpy as _np
+
+        chans = [w(256), w(512), w(1024)]
+        cmid = max(w(256) // 4, 32)
+        p["cv4"] = [{
+            "a": B.conv_p(wm, f"model.21.cv4.{i}.0", ci, cmid, 3),
+            "b": B.conv_p(wm, f"model.21.cv4.{i}.1", cmid, cmid, 3),
+            "c": wm.conv2d(f"model.21.cv4.{i}.2", 32, cmid, (1, 1)),
+        } for i, ci in enumerate(chans)]
+        c_ = w(256)
+        up_w = wm.tensor("model.21.proto.upsample.weight", (c_, c_, 2, 2))
+        p["proto"] = {
+            "cv1": B.conv_p(wm, "model.21.proto.cv1", chans[0], c_, 3),
+            "up_w": _np.transpose(up_w, (2, 3, 1, 0)),
+            "up_b": wm.vec("model.21.proto.upsample.bias", c_),
+            "cv2": B.conv_p(wm, "model.21.proto.cv2", c_, c_, 3),
+            "cv3": B.conv_p(wm, "model.21.proto.cv3", c_, 32, 1),
+        }
     return p
 
 
@@ -159,6 +201,20 @@ class _Cfg11Shim:
 
 
 def apply(params, x, cfg: Yolov12Cfg):
+    if cfg.task == "cls":
+        y = B.conv_a(params["m0"], x, stride=2)
+        y = B.conv_a(params["m1"], y, stride=2)
+        y = B.c3k2_a(params["m2"], y)
+        y = B.conv_a(params["m3"], y, stride=2)
+        y = B.c3k2_a(params["m4"], y)
+        y = B.conv_a(params["m5"], y, stride=2)
+        y = _a2c2f_a(params["m6"], y, area=4)
+        y = B.conv_a(params["m7"], y, stride=2)
+        y = _a2c2f_a(params["m8"], y, area=1)
+        y = B.conv_a(params["m9_conv"], y)
+        y = nn.global_avg_pool(y)
+        return nn.linear(y, params["m9_linear"]["w"],
+                         params["m9_linear"]["b"])
     y = B.conv_a(params["m0"], x, stride=2)
     y = B.conv_a(params["m1"], y, stride=2)
     y = B.c3k2_a(params["m2"], y)
@@ -177,7 +233,8 @@ def apply(params, x, cfg: Yolov12Cfg):
     y = B.conv_a(params["m18"], p4, stride=2)
     p5 = B.c3k2_a(params["m20"], jnp.concatenate([y, c8], -1))
 
-    box_lv, cls_lv = _det_head_a(params["head"], [p3, p4, p5], cfg.reg_max)
+    feats = [p3, p4, p5]
+    box_lv, cls_lv = _det_head_a(params["head"], feats, cfg.reg_max)
     box_dist = _flatten_levels(box_lv)
     cls_logits = _flatten_levels(cls_lv)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
@@ -187,10 +244,34 @@ def apply(params, x, cfg: Yolov12Cfg):
     conf = jnp.max(probs, -1)
     cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+    extras = None
+    if cfg.task == "seg":
+        b = x.shape[0]
+        coef_lv = []
+        for i, f in enumerate(feats):
+            q = params["cv4"][i]
+            yc = B.conv_a(q["b"], B.conv_a(q["a"], f))
+            coef_lv.append(nn.conv2d(yc, q["c"]["w"], q["c"]["b"]))
+        extras = jnp.concatenate([v.reshape(b, -1, 32) for v in coef_lv],
+                                 1).astype(jnp.float32)
     if cfg.postprocess == "raw":
-        return {"boxes": boxes, "conf": conf, "cls": cls_id}
-    return select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
-                          cfg.nms_thresh, cfg.max_det).as_dict()
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        return out
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det, extras=extras)
+    if cfg.task == "seg":
+        pr = params["proto"]
+        q = B.conv_a(pr["cv1"], feats[0])
+        q = nn.silu(nn.conv_transpose2d(q, pr["up_w"], pr["up_b"], stride=2))
+        q = B.conv_a(pr["cv2"], q)
+        proto = B.conv_a(pr["cv3"], q)
+        masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
+                                          proto.astype(jnp.float32),
+                                          dets.extras))
+        return dets.as_dict() | {"masks": masks}
+    return dets.as_dict()
 
 
 register(ModelDef(

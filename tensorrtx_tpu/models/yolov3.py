@@ -185,3 +185,75 @@ register(ModelDef(
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     doc="YOLOv3 / -spp anchor detector (reference: yolov3/, yolov3-spp/)",
 ))
+
+
+# ---- yolov3-tiny (reference: yolov3-tiny/yolov3-tiny.cpp:222-290) ----------
+
+# 2 levels: stride 32 then 16 (yololayer.h:26-35)
+_TINY_ANCHORS = np.array([[[81, 82], [135, 169], [344, 319]],
+                          [[23, 27], [37, 58], [81, 82]]], np.float32)
+# (layer_idx, out_ch); every conv is 3x3 except 13/18 (1x1)
+_TINY_BACKBONE = [(0, 16), (2, 32), (4, 64), (6, 128), (8, 256), (10, 512)]
+
+
+def build_tiny_params(wm, cfg: Yolov3Cfg):
+    no = 3 * (5 + cfg.num_classes)
+    p = {"backbone": []}
+    cin = 3
+    for idx, co in _TINY_BACKBONE:
+        p["backbone"].append(_cbl(wm, idx, co, cin, 3))
+        cin = co
+    p["c12"] = _cbl(wm, 12, 1024, 512, 3)
+    p["c13"] = _cbl(wm, 13, 256, 1024, 1)
+    p["c14"] = _cbl(wm, 14, 512, 256, 3)
+    p["det0"] = _head_conv(wm, 15, no, 512)
+    p["c18"] = _cbl(wm, 18, 128, 256, 1)
+    p["c21"] = _cbl(wm, 21, 256, 384, 3)
+    p["det1"] = _head_conv(wm, 22, no, 256)
+    return p
+
+
+def tiny_apply(params, x, cfg: Yolov3Cfg):
+    y = x
+    taps = {}
+    for i, ((idx, co), pp) in enumerate(zip(_TINY_BACKBONE,
+                                            params["backbone"])):
+        y = _cbl_a(pp, y)
+        taps[idx] = y
+        if idx < 10:
+            y = nn.max_pool(y, 2, 2)
+        else:
+            # pool11: pad bottom/right then 2x2 s1 max pool (keeps HxW)
+            y = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+            y = nn.max_pool(y, 2, 1)
+    y = _cbl_a(params["c12"], y)
+    l13 = _cbl_a(params["c13"], y)
+    y = _cbl_a(params["c14"], l13)
+    det0 = nn.conv2d(y, params["det0"]["w"], params["det0"]["b"])
+    u = nn.upsample_nearest(_cbl_a(params["c18"], l13))  # ones-deconv ≡
+    h = jnp.concatenate([u, taps[8]], -1)                # nearest ×2
+    h = _cbl_a(params["c21"], h)
+    det1 = nn.conv2d(h, params["det1"]["w"], params["det1"]["b"])
+
+    nc = cfg.num_classes
+    parts = [_decode_level(d, jnp.asarray(_TINY_ANCHORS[i]), (32, 16)[i],
+                           nc, cfg.ignore_thresh)
+             for i, d in enumerate([det0, det1])]
+    boxes = jnp.concatenate([p[0] for p in parts], 1)
+    conf = jnp.concatenate([p[1] for p in parts], 1)
+    cls_id = jnp.concatenate([p[2] for p in parts], 1)
+    if cfg.postprocess == "raw":
+        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+    return select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det).as_dict()
+
+
+register(ModelDef(
+    name="yolov3-tiny",
+    build_params=build_tiny_params,
+    apply=tiny_apply,
+    default_cfg=Yolov3Cfg,
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="YOLOv3-tiny (reference: yolov3-tiny/yolov3-tiny.cpp)",
+))

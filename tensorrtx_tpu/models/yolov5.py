@@ -30,6 +30,7 @@ SCALES = {"n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
 @dataclasses.dataclass
 class Yolov5Cfg:
     scale: str = "n"
+    task: str = "det"            # det | cls | seg
     num_classes: int = 80
     input_h: int = 640
     input_w: int = 640
@@ -54,7 +55,28 @@ def _chans(cfg):
     return w, d
 
 
+def _build_cls_params(wm, cfg):
+    """build_cls_engine (yolov5/src/model.cpp:479-537): backbone 0..8 →
+    1x1 conv 1280 → GAP → linear."""
+    w, d = _chans(cfg)
+    return {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 6),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c3_p(wm, "model.2", w(128), w(128), d(3)),
+        "m3": B.conv_p(wm, "model.3", w(128), w(256), 3),
+        "m4": B.c3_p(wm, "model.4", w(256), w(256), d(6)),
+        "m5": B.conv_p(wm, "model.5", w(256), w(512), 3),
+        "m6": B.c3_p(wm, "model.6", w(512), w(512), d(9)),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c3_p(wm, "model.8", w(1024), w(1024), d(3)),
+        "m9_conv": B.conv_p(wm, "model.9.conv", w(1024), 1280, 1),
+        "m9_linear": wm.linear("model.9.linear", cfg.num_classes, 1280),
+    }
+
+
 def build_params(wm, cfg: Yolov5Cfg):
+    if cfg.task == "cls":
+        return _build_cls_params(wm, cfg)
     w, d = _chans(cfg)
     p = {
         "m0": B.conv_p(wm, "model.0", 3, w(64), 6),
@@ -76,15 +98,42 @@ def build_params(wm, cfg: Yolov5Cfg):
         "m21": B.conv_p(wm, "model.21", w(512), w(512), 3),
         "m23": B.c3_p(wm, "model.23", w(1024), w(1024), d(3)),
     }
-    no = 3 * (5 + cfg.num_classes)
+    # seg head (build_seg_engine, model.cpp:539-618): 32 mask coeffs per
+    # anchor appended after (5 + nc); Proto from p3 with nearest upsample
+    extra = 32 if cfg.task == "seg" else 0
+    no = 3 * (5 + extra + cfg.num_classes)
     ch = [w(256), w(512), w(1024)]
     p["det"] = [wm.conv2d(f"model.24.m.{i}", no, ch[i], (1, 1)) for i in range(3)]
     # 3 levels × 3 anchors × (w, h) straight from the checkpoint
     p["anchors"] = wm.tensor("model.24.anchor_grid", (3, 3, 2))
+    if cfg.task == "seg":
+        c_ = w(256)
+        p["proto"] = {
+            "cv1": B.conv_p(wm, "model.24.proto.cv1", ch[0], c_, 3),
+            "cv2": B.conv_p(wm, "model.24.proto.cv2", c_, c_, 3),
+            "cv3": B.conv_p(wm, "model.24.proto.cv3", c_, 32, 1),
+        }
     return p
 
 
+def _apply_cls(params, x, cfg):
+    y = B.conv_a(params["m0"], x, stride=2, pad=2)
+    y = B.conv_a(params["m1"], y, stride=2)
+    y = B.c3_a(params["m2"], y, shortcut=True)
+    y = B.conv_a(params["m3"], y, stride=2)
+    y = B.c3_a(params["m4"], y, shortcut=True)
+    y = B.conv_a(params["m5"], y, stride=2)
+    y = B.c3_a(params["m6"], y, shortcut=True)
+    y = B.conv_a(params["m7"], y, stride=2)
+    y = B.c3_a(params["m8"], y, shortcut=True)
+    y = B.conv_a(params["m9_conv"], y)
+    y = nn.global_avg_pool(y)
+    return nn.linear(y, params["m9_linear"]["w"], params["m9_linear"]["b"])
+
+
 def apply(params, x, cfg: Yolov5Cfg):
+    if cfg.task == "cls":
+        return _apply_cls(params, x, cfg)
     y = B.conv_a(params["m0"], x, stride=2, pad=2)    # 6x6 s2 p2
     y = B.conv_a(params["m1"], y, stride=2)
     y = B.c3_a(params["m2"], y, shortcut=True)
@@ -107,20 +156,21 @@ def apply(params, x, cfg: Yolov5Cfg):
     p5 = B.c3_a(params["m23"], jnp.concatenate([y, p5_in], -1), shortcut=False)
 
     nc = cfg.num_classes
+    extra = 32 if cfg.task == "seg" else 0
     b = x.shape[0]
     strides = (8, 16, 32)
-    boxes_all, conf_all, cls_all = [], [], []
+    boxes_all, conf_all, cls_all, coef_all = [], [], [], []
     for i, f in enumerate([p3, p4, p5]):
         raw = nn.conv2d(f, params["det"][i]["w"], params["det"][i]["b"])
         h, w_ = raw.shape[1], raw.shape[2]
-        raw = raw.reshape(b, h * w_, 3, 5 + nc).astype(jnp.float32)
+        raw = raw.reshape(b, h * w_, 3, 5 + extra + nc).astype(jnp.float32)
         pts, _ = D.make_anchor_grid(h * strides[i], w_ * strides[i], (strides[i],))
         anc = params["anchors"][i].astype(jnp.float32)      # (3, 2)
-        sig = jax.nn.sigmoid(raw)
+        sig = jax.nn.sigmoid(raw[..., :5 + nc])
         xy = (sig[..., 0:2] * 2.0 - 0.5 + (pts - 0.5)[None, :, None, :]) * strides[i]
         wh = jnp.square(sig[..., 2:4] * 2.0) * anc[None, None]
         obj = sig[..., 4]
-        clsp = sig[..., 5:]
+        clsp = sig[..., 5:5 + nc]
         conf_cls = jnp.max(clsp, -1)
         cls_id = jnp.argmax(clsp, -1).astype(jnp.float32)
         # obj gate (yololayer.cu:177): below ignore_thresh the cell never
@@ -131,13 +181,30 @@ def apply(params, x, cfg: Yolov5Cfg):
         boxes_all.append(jnp.concatenate([x1y1, x2y2], -1).reshape(b, -1, 4))
         conf_all.append(conf.reshape(b, -1))
         cls_all.append(cls_id.reshape(b, -1))
+        if extra:
+            # raw (un-sigmoided) mask coefficients trail the (5+nc) slots
+            coef_all.append(raw[..., 5 + nc:].reshape(b, -1, 32))
     boxes = jnp.concatenate(boxes_all, 1)
     conf = jnp.concatenate(conf_all, 1)
     cls_id = jnp.concatenate(cls_all, 1)
+    extras = jnp.concatenate(coef_all, 1) if extra else None
     if cfg.postprocess == "raw":
-        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        return out
     dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
-                          cfg.max_det)
+                          cfg.max_det, extras=extras)
+    if cfg.task == "seg":
+        pr = params["proto"]
+        q = B.conv_a(pr["cv1"], p3)
+        q = nn.upsample_nearest(q)
+        q = B.conv_a(pr["cv2"], q)
+        proto = B.conv_a(pr["cv3"], q)
+        masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
+                                          proto.astype(jnp.float32),
+                                          dets.extras))
+        return dets.as_dict() | {"masks": masks}
     return dets.as_dict()
 
 

@@ -33,7 +33,8 @@ SCALES = {
 @dataclasses.dataclass
 class Yolov8Cfg:
     scale: str = "n"
-    task: str = "det"
+    task: str = "det"            # det | seg | cls | pose | obb
+    variant: str = ""            # "" | "p2" | "5u"
     num_classes: int = 80
     input_h: int = 640
     input_w: int = 640
@@ -48,10 +49,131 @@ class Yolov8Cfg:
 
 def _chans(cfg):
     gd, gw, maxc = SCALES[cfg.scale]
+    if cfg.task == "cls":
+        maxc = 1280  # buildEngineYolov8Cls (model.cpp:973)
+    if cfg.variant == "5u":
+        # get_width_5u: no max-channel cap (model.cpp:9-11)
+        return (lambda x: B.get_width(x, gw, 1 << 30)), \
+            (lambda x: B.get_depth(x, gd))
     return (lambda x: B.get_width(x, gw, maxc)), (lambda x: B.get_depth(x, gd))
 
 
+def _det_head_p(wm, cfg, name, chans, nc):
+    """Detect head: cv2 (box) + cv3 (cls) per level."""
+    c2 = max(16, chans[0] // 4, cfg.reg_max * 4)
+    c3 = max(chans[0], min(nc, 100))
+    head = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(chans):
+        head["cv2"].append({
+            "a": B.conv_p(wm, f"{name}.cv2.{i}.0", ci, c2, 3),
+            "b": B.conv_p(wm, f"{name}.cv2.{i}.1", c2, c2, 3),
+            "c": wm.conv2d(f"{name}.cv2.{i}.2", cfg.reg_max * 4, c2, (1, 1)),
+        })
+        head["cv3"].append({
+            "a": B.conv_p(wm, f"{name}.cv3.{i}.0", ci, c3, 3),
+            "b": B.conv_p(wm, f"{name}.cv3.{i}.1", c3, c3, 3),
+            "c": wm.conv2d(f"{name}.cv3.{i}.2", nc, c3, (1, 1)),
+        })
+    return head
+
+
+def _extra_branch_p(wm, name, chans, cmid, cout):
+    return [{"a": B.conv_p(wm, f"{name}.{i}.0", ci, cmid, 3),
+             "b": B.conv_p(wm, f"{name}.{i}.1", cmid, cmid, 3),
+             "c": wm.conv2d(f"{name}.{i}.2", cout, cmid, (1, 1))}
+            for i, ci in enumerate(chans)]
+
+
+def _build_cls_params(wm, cfg):
+    """buildEngineYolov8Cls (model.cpp:969-1056): backbone 0..8 (max 1280)
+    → 1x1 conv 1280 → GAP → linear."""
+    w, d = _chans(cfg)
+    p = {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c2f_p(wm, "model.2", w(128), w(128), d(3)),
+        "m3": B.conv_p(wm, "model.3", w(128), w(256), 3),
+        "m4": B.c2f_p(wm, "model.4", w(256), w(256), d(6)),
+        "m5": B.conv_p(wm, "model.5", w(256), w(512), 3),
+        "m6": B.c2f_p(wm, "model.6", w(512), w(512), d(6)),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c2f_p(wm, "model.8", w(1024), w(1024), d(3)),
+        "m9_conv": B.conv_p(wm, "model.9.conv", w(1024), 1280, 1),
+        "m9_linear": wm.linear("model.9.linear", cfg.num_classes, 1280),
+    }
+    return p
+
+
+def _build_p2_params(wm, cfg):
+    """buildEngineYolov8DetP2 (model.cpp:653-968): 4-level P2..P5 head at
+    model.28, strides (4, 8, 16, 32)."""
+    w, d = _chans(cfg)
+    p = {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c2f_p(wm, "model.2", w(128), w(128), d(3)),
+        "m3": B.conv_p(wm, "model.3", w(128), w(256), 3),
+        "m4": B.c2f_p(wm, "model.4", w(256), w(256), d(6)),
+        "m5": B.conv_p(wm, "model.5", w(256), w(512), 3),
+        "m6": B.c2f_p(wm, "model.6", w(512), w(512), d(6)),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c2f_p(wm, "model.8", w(1024), w(1024), d(3)),
+        "m9": B.sppf_p(wm, "model.9", w(1024), w(1024)),
+        "m12": B.c2f_p(wm, "model.12", w(1024) + w(512), w(512), d(3)),
+        "m15": B.c2f_p(wm, "model.15", w(512) + w(256), w(256), d(3)),
+        "m18": B.c2f_p(wm, "model.18", w(256) + w(128), w(128), d(3)),
+        "m19": B.conv_p(wm, "model.19", w(128), w(128), 3),
+        "m21": B.c2f_p(wm, "model.21", w(256) + w(128), w(256), d(3)),
+        "m22": B.conv_p(wm, "model.22", w(256), w(256), 3),
+        "m24": B.c2f_p(wm, "model.24", w(512) + w(256), w(512), d(3)),
+        "m25": B.conv_p(wm, "model.25", w(512), w(512), 3),
+        "m27": B.c2f_p(wm, "model.27", w(1024) + w(512), w(1024), d(3)),
+    }
+    chans = [w(128), w(256), w(512), w(1024)]
+    p["head"] = _det_head_p(wm, cfg, "model.28", chans, cfg.num_classes)
+    return p
+
+
+def _build_5u_params(wm, cfg):
+    """buildEngineYolov8_5uDet (model.cpp:1904-2167): YOLOv5 C3 backbone
+    (6x6 stem) + anchor-free v8 head at model.24."""
+    w, d = _chans(cfg)
+    p = {
+        "m0": B.conv_p(wm, "model.0", 3, w(64), 6),
+        "m1": B.conv_p(wm, "model.1", w(64), w(128), 3),
+        "m2": B.c3_p(wm, "model.2", w(128), w(128), d(3)),
+        "m3": B.conv_p(wm, "model.3", w(128), w(256), 3),
+        "m4": B.c3_p(wm, "model.4", w(256), w(256), d(6)),
+        "m5": B.conv_p(wm, "model.5", w(256), w(512), 3),
+        "m6": B.c3_p(wm, "model.6", w(512), w(512), d(6)),
+        "m7": B.conv_p(wm, "model.7", w(512), w(1024), 3),
+        "m8": B.c3_p(wm, "model.8", w(1024), w(1024), d(3)),
+        "m9": B.sppf_p(wm, "model.9", w(1024), w(1024)),
+        "m10": B.conv_p(wm, "model.10", w(1024), w(512), 1),
+        "m13": B.c3_p(wm, "model.13", w(512) + w(512), w(512), d(3)),
+        "m14": B.conv_p(wm, "model.14", w(512), w(256), 1),
+        "m17": B.c3_p(wm, "model.17", w(256) + w(256), w(256), d(3)),
+        "m18": B.conv_p(wm, "model.18", w(256), w(256), 3),
+        "m20": B.c3_p(wm, "model.20", w(256) + w(256), w(512), d(3)),
+        "m21": B.conv_p(wm, "model.21", w(512), w(512), 3),
+        "m23": B.c3_p(wm, "model.23", w(512) + w(512), w(1024), d(3)),
+    }
+    chans = [w(256), w(512), w(1024)]
+    p["head"] = _det_head_p(wm, cfg, "model.24", chans, cfg.num_classes)
+    return p
+
+
 def build_params(wm, cfg: Yolov8Cfg):
+    if cfg.task == "cls":
+        return _build_cls_params(wm, cfg)
+    if cfg.variant == "p2":
+        return _build_p2_params(wm, cfg)
+    if cfg.variant == "5u":
+        return _build_5u_params(wm, cfg)
+    return _build_det_params(wm, cfg)
+
+
+def _build_det_params(wm, cfg: Yolov8Cfg):
     w, d = _chans(cfg)
     p = {
         "m0": B.conv_p(wm, "model.0", 3, w(64), 3),
@@ -72,33 +194,20 @@ def build_params(wm, cfg: Yolov8Cfg):
         "m21": B.c2f_p(wm, "model.21", w(1024) + w(512), w(1024), d(3)),
     }
     ch = [w(256), w(512), w(1024)]
-    nc = cfg.num_classes
-    c2 = max(16, ch[0] // 4, cfg.reg_max * 4)
-    c3 = max(ch[0], min(nc, 100))
-    head = {"cv2": [], "cv3": []}
-    for i, ci in enumerate(ch):
-        head["cv2"].append({
-            "a": B.conv_p(wm, f"model.22.cv2.{i}.0", ci, c2, 3),
-            "b": B.conv_p(wm, f"model.22.cv2.{i}.1", c2, c2, 3),
-            "c": wm.conv2d(f"model.22.cv2.{i}.2", cfg.reg_max * 4, c2, (1, 1)),
-        })
-        head["cv3"].append({
-            "a": B.conv_p(wm, f"model.22.cv3.{i}.0", ci, c3, 3),
-            "b": B.conv_p(wm, f"model.22.cv3.{i}.1", c3, c3, 3),
-            "c": wm.conv2d(f"model.22.cv3.{i}.2", nc, c3, (1, 1)),
-        })
-    p["head"] = head
+    nc = 1 if cfg.task == "pose" else cfg.num_classes
+    p["head"] = _det_head_p(wm, cfg, "model.22", ch, nc)
+    if cfg.task == "pose":
+        kpt_ch = cfg.num_kpts * 3
+        p["cv4"] = _extra_branch_p(wm, "model.22.cv4", ch,
+                                   max(ch[0] // 4, kpt_ch), kpt_ch)
+    elif cfg.task == "obb":
+        p["cv4"] = _extra_branch_p(wm, "model.22.cv4", ch,
+                                   max(ch[0] // 4, 1), 1)
     if cfg.task == "seg":
         import numpy as _np
 
         cmid = max(ch[0] // 4, 32)
-        p["cv4"] = []
-        for i, ci in enumerate(ch):
-            p["cv4"].append({
-                "a": B.conv_p(wm, f"model.22.cv4.{i}.0", ci, cmid, 3),
-                "b": B.conv_p(wm, f"model.22.cv4.{i}.1", cmid, cmid, 3),
-                "c": wm.conv2d(f"model.22.cv4.{i}.2", 32, cmid, (1, 1)),
-            })
+        p["cv4"] = _extra_branch_p(wm, "model.22.cv4", ch, cmid, 32)
         c_ = w(256)
         up_w = wm.tensor("model.22.proto.upsample.weight", (c_, c_, 2, 2))
         p["proto"] = {
@@ -117,7 +226,138 @@ def _branch3(p, f):
     return nn.conv2d(y, p["c"]["w"], p["c"]["b"])
 
 
+def _apply_cls(params, x, cfg):
+    y = B.conv_a(params["m0"], x, stride=2)
+    y = B.conv_a(params["m1"], y, stride=2)
+    y = B.c2f_a(params["m2"], y, shortcut=True)
+    y = B.conv_a(params["m3"], y, stride=2)
+    y = B.c2f_a(params["m4"], y, shortcut=True)
+    y = B.conv_a(params["m5"], y, stride=2)
+    y = B.c2f_a(params["m6"], y, shortcut=True)
+    y = B.conv_a(params["m7"], y, stride=2)
+    y = B.c2f_a(params["m8"], y, shortcut=True)
+    y = B.conv_a(params["m9_conv"], y)
+    y = nn.global_avg_pool(y)
+    return nn.linear(y, params["m9_linear"]["w"], params["m9_linear"]["b"])
+
+
+def _apply_p2(params, x, cfg):
+    y = B.conv_a(params["m0"], x, stride=2)
+    y = B.conv_a(params["m1"], y, stride=2)
+    c2 = B.c2f_a(params["m2"], y, shortcut=True)
+    y = B.conv_a(params["m3"], c2, stride=2)
+    c4 = B.c2f_a(params["m4"], y, shortcut=True)
+    y = B.conv_a(params["m5"], c4, stride=2)
+    c6 = B.c2f_a(params["m6"], y, shortcut=True)
+    y = B.conv_a(params["m7"], c6, stride=2)
+    y = B.c2f_a(params["m8"], y, shortcut=True)
+    p5_in = B.sppf_a(params["m9"], y)
+    u = nn.upsample_nearest(p5_in)
+    m12 = B.c2f_a(params["m12"], jnp.concatenate([u, c6], -1), shortcut=False)
+    u = nn.upsample_nearest(m12)
+    m15 = B.c2f_a(params["m15"], jnp.concatenate([u, c4], -1), shortcut=False)
+    u = nn.upsample_nearest(m15)
+    p2 = B.c2f_a(params["m18"], jnp.concatenate([u, c2], -1), shortcut=False)
+    y = B.conv_a(params["m19"], p2, stride=2)
+    p3 = B.c2f_a(params["m21"], jnp.concatenate([y, m15], -1), shortcut=False)
+    y = B.conv_a(params["m22"], p3, stride=2)
+    p4 = B.c2f_a(params["m24"], jnp.concatenate([y, m12], -1), shortcut=False)
+    y = B.conv_a(params["m25"], p4, stride=2)
+    p5 = B.c2f_a(params["m27"], jnp.concatenate([y, p5_in], -1),
+                 shortcut=False)
+    return [p2, p3, p4, p5]
+
+
+def _apply_5u_backbone(params, x):
+    y = B.conv_a(params["m0"], x, stride=2, pad=2)
+    y = B.conv_a(params["m1"], y, stride=2)
+    y = B.c3_a(params["m2"], y, shortcut=True)
+    y = B.conv_a(params["m3"], y, stride=2)
+    c4 = B.c3_a(params["m4"], y, shortcut=True)
+    y = B.conv_a(params["m5"], c4, stride=2)
+    c6 = B.c3_a(params["m6"], y, shortcut=True)
+    y = B.conv_a(params["m7"], c6, stride=2)
+    y = B.c3_a(params["m8"], y, shortcut=True)
+    sp = B.sppf_a(params["m9"], y)
+    m10 = B.conv_a(params["m10"], sp)
+    u = nn.upsample_nearest(m10)
+    m13 = B.c3_a(params["m13"], jnp.concatenate([u, c6], -1), shortcut=False)
+    m14 = B.conv_a(params["m14"], m13)
+    u = nn.upsample_nearest(m14)
+    p3 = B.c3_a(params["m17"], jnp.concatenate([u, c4], -1), shortcut=False)
+    y = B.conv_a(params["m18"], p3, stride=2)
+    p4 = B.c3_a(params["m20"], jnp.concatenate([y, m14], -1), shortcut=False)
+    y = B.conv_a(params["m21"], p4, stride=2)
+    p5 = B.c3_a(params["m23"], jnp.concatenate([y, m10], -1), shortcut=False)
+    return [p3, p4, p5]
+
+
+def _decode_and_nms(params, feats, x, cfg, strides):
+    b = x.shape[0]
+    box_lv = [_branch3(params["head"]["cv2"][i], f)
+              for i, f in enumerate(feats)]
+    cls_lv = [_branch3(params["head"]["cv3"][i], f)
+              for i, f in enumerate(feats)]
+    box_dist = jnp.concatenate(
+        [v.reshape(b, -1, v.shape[-1]) for v in box_lv], 1)
+    cls_logits = jnp.concatenate(
+        [v.reshape(b, -1, v.shape[-1]) for v in cls_lv], 1)
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
+                                              strides)
+    ltrb = nn.dfl(box_dist, cfg.reg_max)
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    conf = jnp.max(probs, -1)
+    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+
+    extras = None
+    if cfg.task == "obb":
+        ang_lv = [B.conv_a(p["b"], B.conv_a(p["a"], f)) for p, f in
+                  zip(params["cv4"], feats)]
+        ang_lv = [nn.conv2d(v, p["c"]["w"], p["c"]["b"])
+                  for v, p in zip(ang_lv, params["cv4"])]
+        ang_raw = jnp.concatenate(
+            [v.reshape(b, -1) for v in ang_lv], 1)
+        cx, cy, w_, h_, ang = D.decode_obb(ltrb, ang_raw.astype(jnp.float32),
+                                           points, strides_flat)
+        boxes = jnp.stack([cx, cy, w_, h_], axis=-1)
+        extras = ang[..., None]
+    else:
+        boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+        if cfg.task == "pose":
+            kpt_lv = [_branch3(params["cv4"][i], f)
+                      for i, f in enumerate(feats)]
+            kpt_raw = jnp.concatenate(
+                [v.reshape(b, -1, v.shape[-1]) for v in kpt_lv], 1)
+            extras = D.decode_pose(kpt_raw.astype(jnp.float32), points,
+                                   strides_flat, boxes, cfg.kpt_conf_thresh)
+        elif cfg.task == "seg":
+            coef_lv = [_branch3(params["cv4"][i], f)
+                       for i, f in enumerate(feats)]
+            extras = jnp.concatenate(
+                [v.reshape(b, -1, 32) for v in coef_lv], 1).astype(jnp.float32)
+
+    if cfg.postprocess == "raw":
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        return out, feats
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det, extras=extras,
+                          obb=(cfg.task == "obb"))
+    return dets, feats
+
+
 def apply(params, x, cfg: Yolov8Cfg):
+    if cfg.task == "cls":
+        return _apply_cls(params, x, cfg)
+    if cfg.variant == "p2":
+        feats = _apply_p2(params, x, cfg)
+        out, _ = _decode_and_nms(params, feats, x, cfg, (4, 8, 16, 32))
+        return out if isinstance(out, dict) else out.as_dict()
+    if cfg.variant == "5u":
+        feats = _apply_5u_backbone(params, x)
+        out, _ = _decode_and_nms(params, feats, x, cfg, (8, 16, 32))
+        return out if isinstance(out, dict) else out.as_dict()
     y = B.conv_a(params["m0"], x, stride=2)
     y = B.conv_a(params["m1"], y, stride=2)
     y = B.c2f_a(params["m2"], y, shortcut=True)
@@ -138,41 +378,25 @@ def apply(params, x, cfg: Yolov8Cfg):
     p5 = B.c2f_a(params["m21"], jnp.concatenate([y, p5_in], -1), shortcut=False)
     feats = [p3, p4, p5]
 
-    box_lv = [_branch3(params["head"]["cv2"][i], f) for i, f in enumerate(feats)]
-    cls_lv = [_branch3(params["head"]["cv3"][i], f) for i, f in enumerate(feats)]
-    b = x.shape[0]
-    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1]) for v in box_lv], 1)
-    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1]) for v in cls_lv], 1)
-
-    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w, (8, 16, 32))
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
-    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
-
-    extras = None
-    if cfg.task == "seg":
-        coef_lv = [_branch3(params["cv4"][i], f) for i, f in enumerate(feats)]
-        extras = jnp.concatenate([v.reshape(b, -1, 32) for v in coef_lv], 1).astype(jnp.float32)
-
-    if cfg.postprocess == "raw":
-        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
-        if extras is not None:
-            out["extras"] = extras
+    out, _ = _decode_and_nms(params, feats, x, cfg, (8, 16, 32))
+    if isinstance(out, dict):  # raw contract
+        if cfg.task == "seg":
+            out["proto"] = _proto_a(params["proto"], feats[0])
         return out
-    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
-                          cfg.max_det, extras=extras)
     if cfg.task == "seg":
-        pr = params["proto"]
-        q = B.conv_a(pr["cv1"], feats[0])
-        q = nn.silu(nn.conv_transpose2d(q, pr["up_w"], pr["up_b"], stride=2))
-        q = B.conv_a(pr["cv2"], q)
-        proto = B.conv_a(pr["cv3"], q)
+        proto = _proto_a(params["proto"], feats[0])
         masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
-                                          proto.astype(jnp.float32), dets.extras))
-        return dets.as_dict() | {"masks": masks}
-    return dets.as_dict()
+                                          proto.astype(jnp.float32),
+                                          out.extras))
+        return out.as_dict() | {"masks": masks}
+    return out.as_dict()
+
+
+def _proto_a(pr, f):
+    q = B.conv_a(pr["cv1"], f)
+    q = nn.silu(nn.conv_transpose2d(q, pr["up_w"], pr["up_b"], stride=2))
+    q = B.conv_a(pr["cv2"], q)
+    return B.conv_a(pr["cv3"], q)
 
 
 register(ModelDef(

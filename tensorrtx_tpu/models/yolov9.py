@@ -29,6 +29,7 @@ from tensorrtx_tpu.ops.nms import select_and_nms
 
 @dataclasses.dataclass
 class Yolov9Cfg:
+    scale: str = "c"             # t | s | m | c (t/s/m = converted DDetect)
     num_classes: int = 80
     input_h: int = 640
     input_w: int = 640
@@ -37,6 +38,36 @@ class Yolov9Cfg:
     nms_thresh: float = 0.45
     max_det: int = 300
     postprocess: str = "nms"
+
+
+# Converted (DDetect) t/s/m graphs — build_engine_yolov9_{t,s,m} with
+# isConvert=true (model.cpp:25-555). Per scale:
+#   stem (c0, c1); first block at model.2 ("elan1" or elan4 spec);
+#   3 stages of (down_c, elan(c2, c3, c4, n)); spp (c2, c3);
+#   PAN elans m12/m15/m18/m21 + AConv downs m16/m19; head chans.
+_CONVERTED = {
+    "t": {"stem": (16, 32), "elan1": (32, 32, 16),
+          "stages": [(64, (64, 64, 32, 3)), (96, (96, 96, 48, 3)),
+                     (128, (128, 128, 64, 3))],
+          "spp": (128, 64),
+          "m12": (96, 96, 48, 3), "m15": (64, 64, 32, 3), "d16": 48,
+          "m18": (96, 96, 48, 3), "d19": 64, "m21": (128, 128, 64, 3),
+          "head": (64, 96, 128)},
+    "s": {"stem": (32, 64), "elan1": (64, 64, 32),
+          "stages": [(128, (128, 128, 64, 3)), (192, (192, 192, 96, 3)),
+                     (256, (256, 256, 128, 3))],
+          "spp": (256, 128),
+          "m12": (192, 192, 96, 3), "m15": (128, 128, 64, 3), "d16": 96,
+          "m18": (192, 192, 96, 3), "d19": 128, "m21": (256, 256, 128, 1),
+          "head": (128, 192, 256)},
+    "m": {"stem": (32, 64), "elan2": (128, 128, 64, 1),
+          "stages": [(240, (240, 240, 120, 1)), (360, (360, 360, 180, 1)),
+                     (480, (480, 480, 240, 1))],
+          "spp": (480, 240),
+          "m12": (360, 360, 180, 1), "m15": (240, 240, 120, 1), "d16": 184,
+          "m18": (360, 360, 180, 1), "d19": 240, "m21": (480, 480, 240, 1),
+          "head": (240, 360, 480)},
+}
 
 
 def _repconvn_p(wm, name, ci, co):
@@ -74,7 +105,88 @@ def _sppelan_p(wm, name, ci, co, c3):
             "cv5": B.conv_p(wm, f"{name}.cv5", 4 * c3, co, 1)}
 
 
+def _elan1_p(wm, name, ci, c2, c3, c4):
+    """ELAN1 (block.cpp:208-228): cv1 split + two 3x3 convs + cv4."""
+    return {"cv1": B.conv_p(wm, f"{name}.cv1", ci, c3, 1),
+            "cv2": B.conv_p(wm, f"{name}.cv2", c3 // 2, c4, 3),
+            "cv3": B.conv_p(wm, f"{name}.cv3", c4, c4, 3),
+            "cv4": B.conv_p(wm, f"{name}.cv4", c3 + 2 * c4, c2, 1)}
+
+
+def _elan1_a(ep, x):
+    y = B.conv_a(ep["cv1"], x)
+    half = y.shape[-1] // 2
+    s1, s2 = y[..., :half], y[..., half:]
+    y2 = B.conv_a(ep["cv2"], s2)
+    y3 = B.conv_a(ep["cv3"], y2)
+    return B.conv_a(ep["cv4"], jnp.concatenate([s1, s2, y2, y3], -1))
+
+
+def _aconv_p(wm, name, ci, co):
+    """AConv (block.cpp:256-263): avgpool k2 s1 + 3x3 s2 conv."""
+    return {"cv1": B.conv_p(wm, f"{name}.cv1", ci, co, 3)}
+
+
+def _aconv_a(ap, x):
+    y = nn.avg_pool(x, 2, 1)
+    return B.conv_a(ap["cv1"], y, stride=2)
+
+
+def _head_p(wm, cfg, name, ch):
+    nc = cfg.num_classes
+    c2 = max(ch[0] // 4, cfg.reg_max * 4)
+    c3 = max(ch[0], min(nc, 128))  # DDetect (block.cpp:462)
+    head = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(ch):
+        head["cv2"].append({
+            "a": B.conv_p(wm, f"{name}.cv2.{i}.0", ci, c2, 3),
+            "b": B.conv_p(wm, f"{name}.cv2.{i}.1", c2, c2, 3, groups=4),
+            "c": wm.conv2d(f"{name}.cv2.{i}.2", cfg.reg_max * 4, c2,
+                           (1, 1), groups=4),
+        })
+        head["cv3"].append({
+            "a": B.conv_p(wm, f"{name}.cv3.{i}.0", ci, c3, 3),
+            "b": B.conv_p(wm, f"{name}.cv3.{i}.1", c3, c3, 3),
+            "c": wm.conv2d(f"{name}.cv3.{i}.2", nc, c3, (1, 1)),
+        })
+    return head
+
+
+def _build_converted_params(wm, cfg):
+    s = _CONVERTED[cfg.scale]
+    c0, c1 = s["stem"]
+    p = {"m0": B.conv_p(wm, "model.0", 3, c0, 3),
+         "m1": B.conv_p(wm, "model.1", c0, c1, 3)}
+    if "elan1" in s:
+        c2_, c3_, c4_ = s["elan1"]
+        p["m2"] = _elan1_p(wm, "model.2", c1, c2_, c3_, c4_)
+        cin = c2_
+    else:
+        c2_, c3_, c4_, n = s["elan2"]
+        p["m2"] = _elan4_p(wm, "model.2", c1, c2_, c3_, c4_, n)
+        cin = c2_
+    for idx, (down_c, (e2, e3, e4, n)) in enumerate(s["stages"]):
+        i = 3 + idx * 2
+        p[f"m{i}"] = _aconv_p(wm, f"model.{i}", cin, down_c)
+        p[f"m{i + 1}"] = _elan4_p(wm, f"model.{i + 1}", down_c, e2, e3, e4, n)
+        cin = e2
+    spp_c2, spp_c3 = s["spp"]
+    p["m9"] = _sppelan_p(wm, "model.9", cin, spp_c2, spp_c3)
+    p4_src = s["stages"][1][1][0]
+    p3_src = s["stages"][0][1][0]
+    p["m12"] = _elan4_p(wm, "model.12", spp_c2 + p4_src, *s["m12"])
+    p["m15"] = _elan4_p(wm, "model.15", s["m12"][0] + p3_src, *s["m15"])
+    p["m16"] = _aconv_p(wm, "model.16", s["m15"][0], s["d16"])
+    p["m18"] = _elan4_p(wm, "model.18", s["d16"] + s["m12"][0], *s["m18"])
+    p["m19"] = _aconv_p(wm, "model.19", s["m18"][0], s["d19"])
+    p["m21"] = _elan4_p(wm, "model.21", s["d19"] + spp_c2, *s["m21"])
+    p["head"] = _head_p(wm, cfg, "model.22", list(s["head"]))
+    return p
+
+
 def build_params(wm, cfg: Yolov9Cfg):
+    if cfg.scale in _CONVERTED:
+        return _build_converted_params(wm, cfg)
     p = {
         "c1": B.conv_p(wm, "model.1", 3, 64, 3),
         "c2": B.conv_p(wm, "model.2", 64, 128, 3),
@@ -168,7 +280,58 @@ def _branch3(p, f, groups=1):
     return nn.conv2d(y, p["c"]["w"], p["c"]["b"], groups=groups)
 
 
+def _decode_tail(params, box_lv, cls_lv, x, cfg):
+    b = x.shape[0]
+    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
+                                for v in box_lv], 1)
+    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
+                                  for v in cls_lv], 1)
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
+                                              (8, 16, 32))
+    ltrb = nn.dfl(box_dist, cfg.reg_max)
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    conf = jnp.max(probs, -1)
+    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+    if cfg.postprocess == "raw":
+        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+    return select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det).as_dict()
+
+
+def _apply_converted(params, x, cfg):
+    y = B.conv_a(params["m0"], x, stride=2)
+    y = B.conv_a(params["m1"], y, stride=2)
+    if "cv2_0" in params["m2"]:
+        y = _elan4_a(params["m2"], y)
+    else:
+        y = _elan1_a(params["m2"], y)
+    y = _aconv_a(params["m3"], y)
+    c4 = _elan4_a(params["m4"], y)
+    y = _aconv_a(params["m5"], c4)
+    c6 = _elan4_a(params["m6"], y)
+    y = _aconv_a(params["m7"], c6)
+    y = _elan4_a(params["m8"], y)
+    spp = _sppelan_a(params["m9"], y)
+    u = nn.upsample_nearest(spp)
+    m12 = _elan4_a(params["m12"], jnp.concatenate([u, c6], -1))
+    u = nn.upsample_nearest(m12)
+    p3 = _elan4_a(params["m15"], jnp.concatenate([u, c4], -1))
+    y = _aconv_a(params["m16"], p3)
+    p4 = _elan4_a(params["m18"], jnp.concatenate([y, m12], -1))
+    y = _aconv_a(params["m19"], p4)
+    p5 = _elan4_a(params["m21"], jnp.concatenate([y, spp], -1))
+    feats = [p3, p4, p5]
+    box_lv = [_branch3(params["head"]["cv2"][i], f, groups=4)
+              for i, f in enumerate(feats)]
+    cls_lv = [_branch3(params["head"]["cv3"][i], f)
+              for i, f in enumerate(feats)]
+    return _decode_tail(params, box_lv, cls_lv, x, cfg)
+
+
 def apply(params, x, cfg: Yolov9Cfg):
+    if cfg.scale in _CONVERTED:
+        return _apply_converted(params, x, cfg)
     y = B.conv_a(params["c1"], x, stride=2)
     y = B.conv_a(params["c2"], y, stride=2)
     y = _elan4_a(params["e3"], y)

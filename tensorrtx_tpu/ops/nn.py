@@ -117,24 +117,43 @@ def conv_transpose2d(
     b: Optional[Array] = None,
     stride: Union[int, Tuple[int, int]] = 2,
     padding: Union[int, Tuple[int, int]] = 0,
+    groups: int = 1,
 ) -> Array:
     """Transposed conv (torch ConvTranspose2d semantics), NHWC.
 
     ``w`` must be torch's (in, out, kh, kw) transposed to (kh, kw, out, in):
     with transpose_kernel=True lax expects the kernel laid out like the
-    FORWARD conv whose gradient this is.
+    FORWARD conv whose gradient this is. For groups > 1, ``w`` is
+    (kh, kw, out_per_group, in) and the transpose is computed as an
+    input-dilated forward conv with the kernel spatially flipped.
     """
     s = _pair(stride)
     p = _pair(padding)
     kh, kw = w.shape[0], w.shape[1]
-    out = lax.conv_transpose(
-        x,
-        w.astype(x.dtype),
-        strides=s,
-        padding=[(kh - 1 - p[0], kh - 1 - p[0]), (kw - 1 - p[1], kw - 1 - p[1])],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True,
-    )
+    if groups > 1:
+        # deconv ≡ conv(lhs_dilated input, flipped kernel, pad k-1-p);
+        # HWIO forward kernel for grouped conv: (kh, kw, in/groups, out)
+        wf = w[::-1, ::-1]                       # flip spatially
+        wf = jnp.swapaxes(wf, 2, 3)              # (kh, kw, in_pg, out_pg)
+        out = lax.conv_general_dilated(
+            x, wf.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - p[0], kh - 1 - p[0]),
+                     (kw - 1 - p[1], kw - 1 - p[1])],
+            lhs_dilation=s,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+    else:
+        out = lax.conv_transpose(
+            x,
+            w.astype(x.dtype),
+            strides=s,
+            padding=[(kh - 1 - p[0], kh - 1 - p[0]),
+                     (kw - 1 - p[1], kw - 1 - p[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
