@@ -35,7 +35,7 @@ TASKS: Dict[str, str] = {
         "alexnet", "vgg", "googlenet", "squeezenet", "mnasnet",
         "shufflenetv2", "senet", "repvgg", "densenet", "resnet",
         "mobilenetv2", "mobilenetv3", "inception", "ghostnet", "ibnnet",
-        "efficientnet", "hrnet", "vit", "swin_cls", "pp_lcnet_x1_0_doc_ori",
+        "efficientnet", "hrnet", "vit", "convnextv2", "swin_cls", "pp_lcnet_x1_0_doc_ori",
         "pp_lcnet_x1_0_table_cls", "pp_lcnet_x1_0_textline_ori")},
     **{m: "gray_cls" for m in ("lenet", "mlp")},
     # detectors (fused letterbox+decode+NMS contract)
@@ -43,9 +43,9 @@ TASKS: Dict[str, str] = {
         "yolov3", "yolov4", "scaled-yolov4", "yolov5", "yolov5-lite",
         "yolov7", "yolov8", "yolov9", "yolo11", "yolov12", "yolov13",
         "yolo26", "yolov10", "yolov3-tiny", "yolop", "refinedet", "retinaface", "retinaface-anticov",
-        "rcnn", "detr")},
+        "rcnn", "detr", "centernet")},
     # segmentation
-    **{m: "segment" for m in ("unet", "hrnet-seg", "swin", "psenet")},
+    **{m: "segment" for m in ("unet", "hrnet-seg", "hrnet-ocr", "swin", "psenet")},
     # OCR
     **{m: "ocr_det" for m in ("dbnet", "ppocrv5_det", "ppocrv5_server_det")},
     **{m: "ocr_rec" for m in ("crnn", "lprnet", "ppocrv5_rec",

@@ -56,6 +56,9 @@ _MODULES = [
     "yolov13",
     "yolo26",
     "yolov10",
+    "centernet",
+    "hrnet_ocr",
+    "convnextv2",
     "swin",
     "yolov8",
     "yolop",

@@ -133,8 +133,15 @@ def conv_transpose2d(
     if groups > 1:
         # deconv ≡ conv(lhs_dilated input, flipped kernel, pad k-1-p);
         # HWIO forward kernel for grouped conv: (kh, kw, in/groups, out)
-        wf = w[::-1, ::-1]                       # flip spatially
-        wf = jnp.swapaxes(wf, 2, 3)              # (kh, kw, in_pg, out_pg)
+        # deconv weight (kh, kw, out_pg, in) → forward HWIO grouped kernel
+        # (kh, kw, in_pg, out_total): flip spatially, regroup channels
+        out_pg = w.shape[2]
+        cin = w.shape[3]
+        in_pg = cin // groups
+        wf = w[::-1, ::-1]
+        wf = wf.reshape(kh, kw, out_pg, groups, in_pg)
+        wf = wf.transpose(0, 1, 4, 3, 2).reshape(kh, kw, in_pg,
+                                                 groups * out_pg)
         out = lax.conv_general_dilated(
             x, wf.astype(x.dtype),
             window_strides=(1, 1),
