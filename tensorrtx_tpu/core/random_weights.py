@@ -32,6 +32,9 @@ class RandomWeightMap(WeightMap):
                 t = self.rng.uniform(0.5, 1.5, shape)
             elif name.endswith("bn.weight") or name.endswith(".weight") and len(shape) == 1:
                 t = self.rng.uniform(0.5, 1.5, shape)
+            elif name.endswith("_gamma") and len(shape) == 1:
+                # mxnet BN scale / PReLU slope: keep O(1) so signal survives
+                t = self.rng.uniform(0.5, 1.5, shape)
             else:
                 t = self.rng.normal(0.0, self.scale, shape)
             self.raw[name] = t.astype(np.float32)

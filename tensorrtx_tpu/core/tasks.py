@@ -35,7 +35,7 @@ TASKS: Dict[str, str] = {
         "alexnet", "vgg", "googlenet", "squeezenet", "mnasnet",
         "shufflenetv2", "senet", "repvgg", "densenet", "resnet",
         "mobilenetv2", "mobilenetv3", "inception", "ghostnet", "ibnnet",
-        "efficientnet", "hrnet", "vit", "convnextv2", "swin_cls", "pp_lcnet_x1_0_doc_ori",
+        "efficientnet", "hrnet", "vit", "convnextv2", "inceptionv4", "ghostnetv2", "swin_cls", "pp_lcnet_x1_0_doc_ori",
         "pp_lcnet_x1_0_table_cls", "pp_lcnet_x1_0_textline_ori")},
     **{m: "gray_cls" for m in ("lenet", "mlp")},
     # detectors (fused letterbox+decode+NMS contract)
@@ -51,9 +51,9 @@ TASKS: Dict[str, str] = {
     **{m: "ocr_rec" for m in ("crnn", "lprnet", "ppocrv5_rec",
                               "ppocrv5_server_rec")},
     # super-resolution / image-to-image
-    **{m: "sr" for m in ("real-esrgan", "uvdoc")},
+    **{m: "sr" for m in ("real-esrgan", "real-esrgan-x4v3", "uvdoc")},
     # embeddings
-    **{m: "embedding" for m in ("arcface",)},
+    **{m: "embedding" for m in ("arcface", "arcface-mobilefacenet")},
     # generic tensor heads (density map, anomaly map, lanes, keypoints,
     # video, tables, layout, formula — pipeline-level drivers exist
     # separately for ppocr; here they still run and summarize)

@@ -19,6 +19,7 @@ _MODULES = [
     "repvgg",
     "densenet",
     "inception",
+    "inceptionv4",
     "ghostnet",
     "ibnnet",
     "hrnet",

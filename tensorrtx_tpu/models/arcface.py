@@ -142,3 +142,89 @@ register(ModelDef(
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     doc="ArcFace r50/r100 face embeddings (reference: arcface/)",
 ))
+
+
+# ---- mobilefacenet (arcface-mobilefacenet.cpp:149-256) ----------------------
+
+def _mfn_cbr(wm, name, co, ci, k, groups=1):
+    """conv_bn_relu: conv (no bias) + mxnet BN (eps 1e-3) + PReLU."""
+    return {"conv": _mx_conv(wm, f"{name}_conv2d", co, ci // groups, k),
+            "bn": _mx_bn(wm, f"{name}_batchnorm", co),
+            "prelu": wm.vec(f"{name}_relu_gamma", co)}
+
+
+def _mfn_dw(wm, name, inp, oup, groups):
+    """DepthWise: 1x1 sep (→groups) + dw 3x3 + 1x1 proj (→oup)."""
+    return {"sep": _mfn_cbr(wm, f"{name}_conv_sep", groups, inp, 1),
+            "dw": _mfn_cbr(wm, f"{name}_conv_dw", groups, 1, 3),
+            "proj": {"conv": _mx_conv(wm, f"{name}_conv_proj_conv2d", oup,
+                                      groups, 1),
+                     "bn": _mx_bn(wm, f"{name}_conv_proj_batchnorm", oup)}}
+
+
+# (kind, name, inp, oup, groups, stride); residual adds input
+_MFN_BLOCKS = [
+    ("dw", "dconv_23", 64, 64, 128, 2),
+    *[("res", f"res_3_block{i}", 64, 64, 128, 1) for i in range(4)],
+    ("dw", "dconv_34", 64, 128, 256, 2),
+    *[("res", f"res_4_block{i}", 128, 128, 256, 1) for i in range(6)],
+    ("dw", "dconv_45", 128, 128, 512, 2),
+    *[("res", f"res_5_block{i}", 128, 128, 256, 1) for i in range(2)],
+]
+
+
+def build_mfn_params(wm, cfg: ArcFaceCfg):
+    p = {"conv1": _mfn_cbr(wm, "conv_1", 64, 3, 3),
+         "conv2dw": _mfn_cbr(wm, "conv_2_dw", 64, 64, 3, groups=64),
+         "blocks": [_mfn_dw(wm, name, inp, oup, g)
+                    for (_, name, inp, oup, g, _s) in _MFN_BLOCKS],
+         "conv6sep": _mfn_cbr(wm, "conv_6sep", 512, 128, 1),
+         "conv6dw": {"conv": _mx_conv(wm, "conv_6dw7_7_conv2d", 512, 1, 7),
+                     "bn": _mx_bn(wm, "conv_6dw7_7_batchnorm", 512)},
+         "fc": {"w": wm.tensor("fc1_weight", (cfg.emb_dim, 512)).T.copy(),
+                "b": wm.vec("pre_fc1_bias", cfg.emb_dim)}}
+    # output BN "fc1" with eps 2e-5 (arcface-mobilefacenet.cpp:250)
+    g = wm.vec("fc1_gamma", cfg.emb_dim)
+    beta = wm.vec("fc1_beta", cfg.emb_dim)
+    m = wm.vec("fc1_moving_mean", cfg.emb_dim)
+    v = wm.vec("fc1_moving_var", cfg.emb_dim)
+    s = g / np.sqrt(v + 2e-5)
+    p["fc_bn"] = {"s": s, "b": beta - m * s}
+    return p
+
+
+def _mfn_cbr_a(p, x, stride=1, groups=1):
+    k = p["conv"]["w"].shape[0]
+    y = nn.conv2d(x, p["conv"]["w"], None, stride=stride, padding=k // 2,
+                  groups=groups)
+    y = _bn(y, p["bn"])
+    return nn.prelu(y, p["prelu"])
+
+
+def mfn_apply(params, x, cfg: ArcFaceCfg):
+    """x: (B, 112, 112, 3) normalized → (B, 128) embedding."""
+    y = _mfn_cbr_a(params["conv1"], x, stride=2)
+    y = _mfn_cbr_a(params["conv2dw"], y, groups=64)
+    for (kind, name, inp, oup, g, s), bp in zip(_MFN_BLOCKS,
+                                                params["blocks"]):
+        z = _mfn_cbr_a(bp["sep"], y)
+        z = _mfn_cbr_a(bp["dw"], z, stride=s, groups=g)
+        z = nn.conv2d(z, bp["proj"]["conv"]["w"], None)
+        z = _bn(z, bp["proj"]["bn"])
+        y = y + z if kind == "res" else z
+    y = _mfn_cbr_a(params["conv6sep"], y)
+    y = nn.conv2d(y, params["conv6dw"]["conv"]["w"], None, groups=512)
+    y = _bn(y, params["conv6dw"]["bn"])
+    y = y.reshape(y.shape[0], -1)
+    y = nn.linear(y, params["fc"]["w"], params["fc"]["b"])
+    return _bn(y, params["fc_bn"])
+
+
+register(ModelDef(
+    name="arcface-mobilefacenet",
+    build_params=build_mfn_params,
+    apply=mfn_apply,
+    default_cfg=lambda: ArcFaceCfg(variant="mobilefacenet", emb_dim=128),
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="ArcFace MobileFaceNet (reference: arcface/arcface-mobilefacenet.cpp)",
+))

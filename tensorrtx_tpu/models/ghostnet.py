@@ -47,6 +47,7 @@ def _divisible(v, d=4):
 
 @dataclasses.dataclass
 class GhostNetCfg:
+    variant: str = "v1"          # v1 | v2 (DFC attention from block 2 on)
     num_classes: int = 1000
     input_h: int = 256
     input_w: int = 320
@@ -63,14 +64,29 @@ def _ghost_p(wm, name, inp, oup, relu=True):
     }
 
 
+def _short_conv_p(wm, name, inp, oup):
+    """GhostNetV2 DFC attention branch (ghostnetv2.cpp:265-318):
+    1x1 conv-bn → (1,5) dw conv-bn → (5,1) dw conv-bn."""
+    return {
+        "c0": wm.conv_bn(f"{name}.short_conv.0", f"{name}.short_conv.1",
+                         oup, inp, (1, 1), eps=BN_EPS),
+        "c1": wm.conv_bn(f"{name}.short_conv.2", f"{name}.short_conv.3",
+                         oup, oup, (1, 5), groups=oup, eps=BN_EPS),
+        "c2": wm.conv_bn(f"{name}.short_conv.4", f"{name}.short_conv.5",
+                         oup, oup, (5, 1), groups=oup, eps=BN_EPS),
+    }
+
+
 def build_params(wm, cfg: GhostNetCfg):
     p = {"stem": wm.conv_bn("conv_stem", "bn1", 16, 3, (3, 3), eps=BN_EPS),
          "blocks": []}
-    for (name, inp, mid, oup, k, s, se) in CFG:
+    for layer_id, (name, inp, mid, oup, k, s, se) in enumerate(CFG):
         bp = {
             "g1": _ghost_p(wm, f"{name}.ghost1", inp, mid),
             "g2": _ghost_p(wm, f"{name}.ghost2", mid, oup, relu=False),
         }
+        if cfg.variant == "v2" and layer_id > 1:
+            bp["attn"] = _short_conv_p(wm, f"{name}.ghost1", inp, mid)
         if s > 1:
             bp["dw"] = wm.conv_bn(f"{name}.conv_dw", f"{name}.bn_dw", mid, mid,
                                   (k, k), groups=mid, eps=BN_EPS)
@@ -107,6 +123,19 @@ def apply(params, x, cfg: GhostNetCfg):
                               stride=2, padding=1))
     for (name, inp, mid, oup, k, s, se), bp in zip(CFG, params["blocks"]):
         z = _ghost_a(bp["g1"], y)
+        if "attn" in bp:
+            # DFC gate: avgpool2 → 1x1 → (1,5) dw → (5,1) dw → sigmoid →
+            # nearest-upsample → multiply (ghostnetv2.cpp:265-318)
+            ap = bp["attn"]
+            g_in = nn.avg_pool(y, 2, 2)
+            g = nn.conv2d(g_in, ap["c0"]["w"], ap["c0"]["b"])
+            g = nn.conv2d(g, ap["c1"]["w"], ap["c1"]["b"], padding=(0, 2),
+                          groups=g.shape[-1])
+            g = nn.conv2d(g, ap["c2"]["w"], ap["c2"]["b"], padding=(2, 0),
+                          groups=g.shape[-1])
+            g = jax.nn.sigmoid(g)
+            g = jax.image.resize(g, z.shape, method="nearest")
+            z = z * g
         if "dw" in bp:
             g = bp["dw"]["w"].shape[3]
             z = nn.conv2d(z, bp["dw"]["w"], bp["dw"]["b"], stride=s,
@@ -138,4 +167,13 @@ register(ModelDef(
     default_cfg=GhostNetCfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     doc="GhostNet v1 (reference: ghostnet/ghostnetv1/)",
+))
+
+register(ModelDef(
+    name="ghostnetv2",
+    build_params=build_params,
+    apply=apply,
+    default_cfg=lambda: GhostNetCfg(variant="v2", input_h=224, input_w=224),
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="GhostNet v2 with DFC attention (reference: ghostnet/ghostnetv2/)",
 ))

@@ -38,9 +38,22 @@ def _bn(wm, name, ch):
     return {"s": s, "b": b - m * s}
 
 
+# ibn-b: blocks with a post-residual InstanceNorm (ibnnet.cpp:44 — global
+# block indices 2 (layer1.2) and 6 (layer2.3))
+_B_IN_BLOCKS = {(0, 2), (1, 3)}
+
+
 def build_params(wm, cfg: IbnNetCfg):
-    assert cfg.variant == "a", "ibn-b arrives with a later catalog pass"
-    p = {"stem": wm.conv_bn("conv1", "bn1", 64, 3, (7, 7), eps=BN_EPS)}
+    assert cfg.variant in ("a", "b")
+    if cfg.variant == "b":
+        # stem BN is an InstanceNorm in ibn-b (ibnnet.cpp:57-59)
+        p = {"stem": {"w": np.transpose(
+            wm.tensor("conv1.weight", (64, 3, 7, 7)), (2, 3, 1, 0)),
+            "b": None},
+            "stem_in_g": wm.vec("bn1.weight", 64),
+            "stem_in_b": wm.vec("bn1.bias", 64)}
+    else:
+        p = {"stem": wm.conv_bn("conv1", "bn1", 64, 3, (7, 7), eps=BN_EPS)}
     in_c = 64
     stages = []
     for li, n in enumerate(LAYERS):
@@ -49,7 +62,7 @@ def build_params(wm, cfg: IbnNetCfg):
         blocks = []
         for bi in range(n):
             name = f"layer{li + 1}.{bi}"
-            ibn = li < 3  # layers 1-3 use IBN-a on bn1
+            ibn = cfg.variant == "a" and li < 3  # IBN-a split on bn1
             bp = {"c1": wm.conv2d(f"{name}.conv1", base, in_c, (1, 1), bias=False)}
             if ibn:
                 half = base // 2
@@ -66,6 +79,9 @@ def build_params(wm, cfg: IbnNetCfg):
                 bp["down"] = wm.conv_bn(f"{name}.downsample.0",
                                         f"{name}.downsample.1", out_c, in_c,
                                         (1, 1), eps=BN_EPS)
+            if cfg.variant == "b" and (li, bi) in _B_IN_BLOCKS:
+                bp["post_in_g"] = wm.vec(f"{name}.IN.weight", out_c)
+                bp["post_in_b"] = wm.vec(f"{name}.IN.bias", out_c)
             blocks.append(bp)
             in_c = out_c
         stages.append(blocks)
@@ -75,8 +91,11 @@ def build_params(wm, cfg: IbnNetCfg):
 
 
 def apply(params, x, cfg: IbnNetCfg):
-    y = jax.nn.relu(nn.conv2d(x, params["stem"]["w"], params["stem"]["b"],
-                              stride=2, padding=3))
+    y = nn.conv2d(x, params["stem"]["w"], params["stem"]["b"], stride=2,
+                  padding=3)
+    if "stem_in_g" in params:
+        y = nn.instance_norm(y, params["stem_in_g"], params["stem_in_b"])
+    y = jax.nn.relu(y)
     y = nn.max_pool(y, 3, 2, 1)
     for li, blocks in enumerate(params["stages"]):
         stride = 1 if li == 0 else 2
@@ -97,7 +116,10 @@ def apply(params, x, cfg: IbnNetCfg):
             z = nn.conv2d(z, bp["c3"]["w"], bp["c3"]["b"])
             sc = y if "down" not in bp else nn.conv2d(y, bp["down"]["w"],
                                                       bp["down"]["b"], stride=s)
-            y = jax.nn.relu(z + sc)
+            y = z + sc
+            if "post_in_g" in bp:  # ibn-b post-residual IN (layers.cpp:199)
+                y = nn.instance_norm(y, bp["post_in_g"], bp["post_in_b"])
+            y = jax.nn.relu(y)
     y = nn.global_avg_pool(y)
     return nn.linear(y, params["fc"]["w"], params["fc"]["b"])
 

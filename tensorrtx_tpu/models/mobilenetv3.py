@@ -37,12 +37,36 @@ SMALL = [
 ]
 
 
+# large (create_engine_large, mobilenet_v3.py:282-338)
+LARGE = [
+    (16, 16, 1, 16, 3, 0, 0),
+    (16, 24, 2, 64, 3, 0, 0),
+    (24, 24, 1, 72, 3, 0, 0),
+    (24, 40, 2, 72, 5, 1, 0),
+    (40, 40, 1, 120, 5, 1, 0),
+    (40, 40, 1, 120, 5, 1, 0),
+    (40, 80, 2, 240, 3, 0, 1),
+    (80, 80, 1, 200, 3, 0, 1),
+    (80, 80, 1, 184, 3, 0, 1),
+    (80, 80, 1, 184, 3, 0, 1),
+    (80, 112, 1, 480, 3, 1, 1),
+    (112, 112, 1, 672, 3, 1, 1),
+    (112, 160, 1, 672, 5, 1, 1),
+    (160, 160, 2, 672, 5, 1, 1),
+    (160, 160, 1, 960, 5, 1, 1),
+]
+
+
 @dataclasses.dataclass
 class MobileNetV3Cfg:
     variant: str = "small"
     num_classes: int = 1000
     input_h: int = 224
     input_w: int = 224
+
+    @property
+    def blocks(self):
+        return SMALL if self.variant == "small" else LARGE
 
 
 def _bn1d(wm, name, ch):
@@ -62,7 +86,7 @@ def _se_p(wm, name, ch, red):
 def build_params(wm, cfg: MobileNetV3Cfg):
     p = {"stem": wm.conv_bn("features.0.0", "features.0.1", 16, 3, (3, 3),
                             eps=BN_EPS), "blocks": []}
-    for i, (cin, cout, s, hid, k, se, hs) in enumerate(SMALL):
+    for i, (cin, cout, s, hid, k, se, hs) in enumerate(cfg.blocks):
         name = f"features.{i + 1}.conv"
         bp = {}
         if cin == hid:  # conv_seq_1: dw → [se] → pw
@@ -82,12 +106,16 @@ def build_params(wm, cfg: MobileNetV3Cfg):
             bp["pw"] = wm.conv_bn(f"{name}.7", f"{name}.8", cout, hid, (1, 1),
                                   eps=BN_EPS)
         p["blocks"].append(bp)
-    p["tail"] = wm.conv_bn("conv.0.0", "conv.0.1", 576, 96, (1, 1), eps=BN_EPS)
-    p["tail_se"] = _se_p(wm, "conv.1", 576, 144)
-    p["cls0"] = wm.linear("classifier.0", 1280, 576)
-    p["cls_bn1"] = _bn1d(wm, "classifier.1", 1280)
+    tail_c = 576 if cfg.variant == "small" else 960
+    last_c = cfg.blocks[-1][1]
+    p["tail"] = wm.conv_bn("conv.0.0", "conv.0.1", tail_c, last_c, (1, 1),
+                           eps=BN_EPS)
+    p["cls0"] = wm.linear("classifier.0", 1280, tail_c)
     p["cls3"] = wm.linear("classifier.3", cfg.num_classes, 1280)
-    p["cls_bn4"] = _bn1d(wm, "classifier.4", cfg.num_classes)
+    if cfg.variant == "small":
+        p["tail_se"] = _se_p(wm, "conv.1", 576, 144)
+        p["cls_bn1"] = _bn1d(wm, "classifier.1", 1280)
+        p["cls_bn4"] = _bn1d(wm, "classifier.4", cfg.num_classes)
     return p
 
 
@@ -106,7 +134,8 @@ def _se_a(sp, x):
 def apply(params, x, cfg: MobileNetV3Cfg):
     y = _hswish(nn.conv2d(x, params["stem"]["w"], params["stem"]["b"],
                           stride=2, padding=1))
-    for (cin, cout, s, hid, k, se, hs), bp in zip(SMALL, params["blocks"]):
+    for (cin, cout, s, hid, k, se, hs), bp in zip(cfg.blocks,
+                                                  params["blocks"]):
         act = _hswish if hs else jax.nn.relu
         inp = y
         if "exp" in bp:
@@ -126,12 +155,17 @@ def apply(params, x, cfg: MobileNetV3Cfg):
         if s == 1 and cin == cout:
             y = y + inp
     y = _hswish(nn.conv2d(y, params["tail"]["w"], params["tail"]["b"]))
-    y = _se_a(params["tail_se"], y)
+    if cfg.variant == "small":
+        y = _se_a(params["tail_se"], y)
+        y = _hswish(nn.global_avg_pool(y))
+        y = nn.linear(y, params["cls0"]["w"], params["cls0"]["b"])
+        y = _hswish(y * params["cls_bn1"]["s"] + params["cls_bn1"]["b"])
+        y = nn.linear(y, params["cls3"]["w"], params["cls3"]["b"])
+        return _hswish(y * params["cls_bn4"]["s"] + params["cls_bn4"]["b"])
+    # large (mobilenet_v3.py:307-327): pool → hswish → fc → hswish → fc
     y = _hswish(nn.global_avg_pool(y))
-    y = nn.linear(y, params["cls0"]["w"], params["cls0"]["b"])
-    y = _hswish(y * params["cls_bn1"]["s"] + params["cls_bn1"]["b"])
-    y = nn.linear(y, params["cls3"]["w"], params["cls3"]["b"])
-    return _hswish(y * params["cls_bn4"]["s"] + params["cls_bn4"]["b"])
+    y = _hswish(nn.linear(y, params["cls0"]["w"], params["cls0"]["b"]))
+    return nn.linear(y, params["cls3"]["w"], params["cls3"]["b"])
 
 
 register(ModelDef(

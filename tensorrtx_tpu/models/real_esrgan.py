@@ -100,3 +100,53 @@ register(ModelDef(
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     doc="Real-ESRGAN x4plus RRDBNet SR (reference: real-esrgan/)",
 ))
+
+
+# ---- general-x4v3 (SRVGGNetCompact; real-esrgan/general-x4v3/main.cpp) -----
+
+@dataclasses.dataclass
+class EsrganX4v3Cfg:
+    num_conv: int = 32
+    num_feat: int = 64
+    scale: int = 4
+    input_h: int = 128
+    input_w: int = 128
+
+
+def build_x4v3_params(wm, cfg: EsrganX4v3Cfg):
+    """body.0 conv + PReLU body.1, then 32× (conv body.2i+2 + PReLU
+    body.2i+3), conv_last body.66 → 48ch pixel-shuffle ×4 + nearest-up
+    residual (main.cpp:95-131)."""
+    p = {"convs": [], "prelus": []}
+    cin = 3
+    for i in range(cfg.num_conv + 1):
+        p["convs"].append(_conv(wm, f"body.{2 * i}", cfg.num_feat, cin))
+        p["prelus"].append(wm.vec(f"body.{2 * i + 1}.weight", cfg.num_feat))
+        cin = cfg.num_feat
+    p["conv_last"] = _conv(wm, f"body.{2 * (cfg.num_conv + 1)}",
+                           3 * cfg.scale ** 2, cfg.num_feat)
+    return p
+
+
+def x4v3_apply(params, x, cfg: EsrganX4v3Cfg):
+    """x: (B, H, W, 3) in [0,1] → (B, 4H, 4W, 3)."""
+    y = x
+    for cp, slope in zip(params["convs"], params["prelus"]):
+        y = nn.conv2d(y, cp["w"], cp["b"], padding=1)
+        y = nn.prelu(y, slope)
+    y = nn.conv2d(y, params["conv_last"]["w"], params["conv_last"]["b"],
+                  padding=1)
+    up = nn.pixel_shuffle(y, cfg.scale)
+    base = nn.upsample_nearest(x, cfg.scale)
+    return up + base.astype(up.dtype)
+
+
+register(ModelDef(
+    name="real-esrgan-x4v3",
+    build_params=build_x4v3_params,
+    apply=x4v3_apply,
+    default_cfg=EsrganX4v3Cfg,
+    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    doc="Real-ESRGAN general-x4v3 compact SR "
+        "(reference: real-esrgan/general-x4v3/)",
+))
