@@ -42,7 +42,8 @@ def cmd_build(args):
     if args.int8_calib_dir:
         import numpy as np
 
-        from tensorrtx_tpu.core.quant import calibrate, save_scale_cache
+        from tensorrtx_tpu.core.quant import (QuantizedEngine, calibrate,
+                                              save_scale_cache)
         from tensorrtx_tpu.core.runner import load_image, read_files_in_dir
         from tensorrtx_tpu.ops.preprocess import letterbox
         import jax.numpy as jnp
@@ -56,9 +57,11 @@ def cmd_build(args):
                                      h, w))
             batches.append(x[None])
         scales = calibrate(eng, batches, method=args.calib_method)
-        save_scale_cache(args.output + ".int8calib.json", scales,
-                         {"model": args.model, "method": args.calib_method})
-        print(f"int8 calibration table → {args.output}.int8calib.json")
+        qeng = QuantizedEngine(eng, scales)
+        qeng.save(args.output)
+        print(f"int8 engine saved → {args.output} "
+              f"(calib table int8calib.json inside)")
+        return
     eng.save(args.output)
     print(f"engine saved → {args.output}")
 

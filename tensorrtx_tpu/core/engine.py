@@ -83,6 +83,11 @@ class Engine:
     def __call__(self, x):
         return self._jitted(self.params, x)
 
+    def raw_apply(self, params, x):
+        """Traceable forward for embedding into larger jitted programs
+        (ServingPipeline fuses preprocess around it)."""
+        return self.model.apply(params, x, self.cfg)
+
     def warmup(self, batch: int = 1):
         h, w, c = self.model.input_shape(self.cfg)
         x = jnp.zeros((batch, h, w, c), dtype=resolve_dtype(self.precision)
@@ -204,4 +209,11 @@ def build_engine(
 
 
 def load_engine(path: str) -> Engine:
+    """Load an engine dir; int8-flagged engines come back quantized."""
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    if meta.get("int8"):
+        from tensorrtx_tpu.core.quant import QuantizedEngine
+
+        return QuantizedEngine.load(path)
     return Engine.load(path)

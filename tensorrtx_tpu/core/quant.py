@@ -110,29 +110,16 @@ def calibrate(engine: Engine, batches: Iterable[np.ndarray],
                     np.float32)
 
 
-def weight_scales(engine: Engine) -> List[np.ndarray]:
+def weight_scales(engine: Engine,
+                  ws: Optional[List[np.ndarray]] = None) -> List[np.ndarray]:
     """Per-conv per-output-channel |w|max/127 in conv trace order.
 
     Collected by spying on ops.nn.conv2d during one eager forward with the
     concrete params: eager execution visits convs in exactly the order the
     jitted quant trace will.
     """
-    model, cfg = engine.model, engine.cfg
-    ws: List[np.ndarray] = []
-    import tensorrtx_tpu.ops.nn as _nn
-
-    orig_conv = _nn.conv2d
-
-    def conv_spy(x, w, b=None, **kw):
-        ws.append(np.asarray(w))
-        return orig_conv(x, w, b, **kw)
-
-    _nn.conv2d = conv_spy
-    try:
-        h, w_, c = model.input_shape(cfg)
-        model.apply(engine.params, jnp.zeros((1, h, w_, c), jnp.float32), cfg)
-    finally:
-        _nn.conv2d = orig_conv
+    if ws is None:
+        ws = _conv_weights(engine)
     return [np.maximum(np.abs(w.astype(np.float32)).max(axis=(0, 1, 2)) / 127.0,
                        1e-8) for w in ws]
 
@@ -152,21 +139,88 @@ def load_scale_cache(path: str) -> np.ndarray:
 
 
 class QuantizedEngine:
-    """Engine wrapper whose convs run the int8 path (grouped convs stay fp)."""
+    """Engine wrapper whose convs run the int8 path (grouped convs stay fp).
+
+    Weights are quantized ONCE here (per-output-channel |w|max/127) and the
+    int8 tensors are passed into the jitted program — the forward never
+    re-rounds fp weights. Serializes alongside the fp engine so `cli run`
+    can reload it (≙ the reference's int8calib.table + engine pairing).
+    """
 
     def __init__(self, engine: Engine, act_scales: np.ndarray):
         self.engine = engine
+        self.model = engine.model
+        self.cfg = engine.cfg
+        self.name = engine.name
+        self.precision = "int8"
         self.act_scales = np.asarray(act_scales, np.float32)
-        self.w_scales = weight_scales(engine)
+        ws = _conv_weights(engine)
+        self.w_scales = weight_scales(engine, ws)
+        self.wq = [jnp.asarray(np.clip(
+            np.round(np.asarray(w, np.float32)
+                     / s[None, None, None, :]), -127, 127).astype(np.int8))
+            for w, s in zip(ws, self.w_scales)]
         model, cfg = engine.model, engine.cfg
 
-        def fn(params, x):
+        def fn(params, wq, x):
             state = quant_ctx.QuantState(
-                "quant", act_scales=self.act_scales, w_scales=self.w_scales)
+                "quant", act_scales=self.act_scales, w_scales=self.w_scales,
+                wq=wq)
             with quant_ctx.quant_context(state):
                 return model.apply(params, x, cfg)
 
         self._jitted = jax.jit(fn)
 
+    @property
+    def params(self):
+        return self.engine.params
+
     def __call__(self, x):
-        return self._jitted(self.engine.params, jnp.asarray(x))
+        return self._jitted(self.engine.params, self.wq, jnp.asarray(x))
+
+    def raw_apply(self, params, x):
+        """Traceable int8 forward (wq enters the trace as constants)."""
+        state = quant_ctx.QuantState(
+            "quant", act_scales=self.act_scales, w_scales=self.w_scales,
+            wq=self.wq)
+        with quant_ctx.quant_context(state):
+            return self.model.apply(params, x, self.cfg)
+
+    def save(self, path: str) -> None:
+        self.engine.save(path)
+        save_scale_cache(os.path.join(path, "int8calib.json"),
+                         self.act_scales, {"model": self.engine.name})
+        # flag the engine dir as int8 so load_engine reconstructs this class
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["int8"] = True
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+
+    @staticmethod
+    def load(path: str) -> "QuantizedEngine":
+        eng = Engine.load(path)
+        scales = load_scale_cache(os.path.join(path, "int8calib.json"))
+        return QuantizedEngine(eng, scales)
+
+
+def _conv_weights(engine: Engine) -> List[np.ndarray]:
+    """Conv weights in trace order (same spy as weight_scales)."""
+    model, cfg = engine.model, engine.cfg
+    ws: List[np.ndarray] = []
+    import tensorrtx_tpu.ops.nn as _nn
+
+    orig_conv = _nn.conv2d
+
+    def conv_spy(x, w, b=None, **kw):
+        ws.append(np.asarray(w))
+        return orig_conv(x, w, b, **kw)
+
+    _nn.conv2d = conv_spy
+    try:
+        h, w_, c = model.input_shape(cfg)
+        model.apply(engine.params, jnp.zeros((1, h, w_, c), jnp.float32), cfg)
+    finally:
+        _nn.conv2d = orig_conv
+    return ws

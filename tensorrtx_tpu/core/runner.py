@@ -54,7 +54,8 @@ class ServingPipeline:
             x = letterbox_batch(frames, src_hw, dst_h, dst_w,
                                 bgr_to_rgb=bgr_to_rgb)
             x = x.astype(dtype)
-            return model.apply(params, x, cfg)
+            # raw_apply so int8 QuantizedEngines keep their quant context
+            return engine.raw_apply(params, x)
 
         self._jitted = jax.jit(fused, donate_argnums=(1,) if donate else ())
         self._params = engine.params

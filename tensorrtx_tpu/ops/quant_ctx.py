@@ -21,11 +21,12 @@ STATE: Optional["QuantState"] = None
 
 class QuantState:
     def __init__(self, mode: str, act_scales=None, w_scales=None,
-                 hist_ranges=None, hist_bins: int = 2048):
+                 hist_ranges=None, hist_bins: int = 2048, wq=None):
         self.mode = mode            # "tap_absmax" | "tap_hist" | "quant"
         self.taps: List = []
         self.act_scales = act_scales
         self.w_scales = w_scales
+        self.wq = wq                # pre-quantized int8 weights, trace order
         self.hist_ranges = hist_ranges
         self.hist_bins = hist_bins
         self.idx = 0

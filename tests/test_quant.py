@@ -61,3 +61,31 @@ def test_scale_cache_roundtrip(tmp_path, r18, rng):
     save_scale_cache(str(p), scales, {"model": "resnet18"})
     loaded = load_scale_cache(str(p))
     np.testing.assert_allclose(loaded, scales, rtol=1e-6)
+
+
+def test_int8_engine_save_load_roundtrip(tmp_path, r18, rng):
+    """Productized INT8 (VERDICT weak #6): pre-quantized weights, engine
+    dir save/load via load_engine, detections match the live engine."""
+    from tensorrtx_tpu.core.engine import load_engine
+    from tensorrtx_tpu.core.quant import QuantizedEngine, calibrate
+
+    eng = r18
+    x = rng.normal(0, 1, (1, 224, 224, 3)).astype(np.float32)
+    scales = calibrate(eng, [x], method="absmax")
+    q = QuantizedEngine(eng, scales)
+    out_live = np.asarray(q(x))
+    # weights must be pre-quantized int8 tensors, not recomputed per call
+    assert q.wq and all(np.asarray(w).dtype == np.int8 for w in q.wq)
+
+    path = str(tmp_path / "r18_int8")
+    q.save(path)
+    q2 = load_engine(path)
+    assert type(q2).__name__ == "QuantizedEngine"
+    out_loaded = np.asarray(q2(x))
+    np.testing.assert_allclose(out_loaded, out_live, atol=1e-4)
+
+    # int8 vs fp32 agreement: top-1 class stable, logits close
+    out_fp = np.asarray(eng(x))
+    assert out_loaded[0].argmax() == out_fp[0].argmax()
+    rel = np.abs(out_loaded - out_fp).max() / (np.abs(out_fp).max() + 1e-9)
+    assert rel < 0.15
