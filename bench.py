@@ -32,22 +32,44 @@ def main():
 
     eng = _build_yolo11(scale="n", h=640, w=640, precision="bf16", max_det=300)
     results = {}
-    for batch in (1, 32):
-        pipe = ServingPipeline(eng, src_h=640, src_w=640, donate=False)
+    rng = np.random.default_rng(0)
+
+    # batch 1: stream-scan steady state. Each frame runs the batch-1
+    # program; a lax.scan over K frames amortizes the per-dispatch relay
+    # RPC (~0.2-1 ms through the axon tunnel, does NOT pipeline) that a
+    # locally-driven chip never pays. Per-dispatch marginals were measuring
+    # relay jitter, not TPU time (r1: 908 img/s reported, ~980 on-device).
+    pipe = ServingPipeline(eng, src_h=640, src_w=640, donate=False)
+    K = 16
+    stream = pipe.stream_fn(K)
+    hw = jnp.asarray(np.tile([[640, 640]], (K, 1)), jnp.int32)
+    frames = [jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (K, 640, 640, 3), np.uint8))) for _ in range(4)]
+    args = [(pipe._params, f, hw) for f in frames]
+    reps = [bench_marginal(stream, args, n_small=10, n_large=50)["iter_ms"]
+            for _ in range(3)]
+    iter_ms = float(np.median(reps)) / K
+    lat = bench_loop(pipe._jitted,
+                     [(pipe._params, f[:1], hw[:1]) for f in frames],
+                     iters=20, warmup=3)
+    results[1] = {"iter_ms": iter_ms, "ips": 1e3 / iter_ms,
+                  "call_p50_ms": lat["p50_ms"]}
+    print(f"# batch=1: {iter_ms:.3f} ms/img stream steady-state "
+          f"({1e3 / iter_ms:.1f} img/s), per-call p50 {lat['p50_ms']:.1f} ms",
+          file=sys.stderr)
+
+    # batch 32: per-dispatch marginal (32 images amortize the relay RPC)
+    for batch in (32,):
         src_hw = jnp.asarray(np.tile([[640, 640]], (batch, 1)), jnp.int32)
-        rng = np.random.default_rng(0)
         bufs = [jax.device_put(jnp.asarray(
             rng.integers(0, 255, (batch, 640, 640, 3), np.uint8)))
             for _ in range(8)]
         args = [(pipe._params, b, src_hw) for b in bufs]
         fn = pipe._jitted
-        # relay jitter is one-sided; median of 3 marginal measurements
-        reps = [bench_marginal(fn, args,
-                               n_small=10 if batch == 32 else 20,
-                               n_large=40 if batch == 32 else 120)["iter_ms"]
+        reps = [bench_marginal(fn, args, n_small=10, n_large=40)["iter_ms"]
                 for _ in range(3)]
         marg = {"iter_ms": float(np.median(reps))}
-        lat = bench_loop(fn, args, iters=10 if batch == 32 else 20, warmup=3)
+        lat = bench_loop(fn, args, iters=10, warmup=3)
         ips = batch / (marg["iter_ms"] / 1e3)
         results[batch] = {"iter_ms": marg["iter_ms"], "ips": ips,
                           "call_p50_ms": lat["p50_ms"]}

@@ -23,6 +23,10 @@ class ModelDef:
     default_cfg: Callable[[], Any]            # () -> cfg dataclass/dict
     input_shape: Callable[[Any], tuple]       # cfg -> (H, W, C)
     postprocess: Optional[Callable[..., Any]] = None  # host-side finishing
+    # optional fused-serving fast path: forward from the 2x2 space-to-depth
+    # parity tensor emitted by ops.preprocess.letterbox_s2d (same numerics,
+    # skips the batch-1 small-channel stride-2 first-conv relayout pathology)
+    apply_s2d: Optional[Callable[..., Any]] = None
     doc: str = ""
 
 

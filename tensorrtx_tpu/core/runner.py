@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorrtx_tpu.core.engine import Engine
-from tensorrtx_tpu.ops.preprocess import letterbox_batch, scale_boxes_back
+from tensorrtx_tpu.ops.preprocess import (letterbox_batch, letterbox_s2d_batch,
+                                          scale_boxes_back)
 
 __all__ = ["ServingPipeline", "load_image", "read_files_in_dir"]
 
@@ -50,7 +51,26 @@ class ServingPipeline:
         model = engine.model
         dtype = _param_dtype(engine.params)
 
+        # Fast path: models exposing apply_s2d consume the letterboxed
+        # space-to-depth parity tensor directly — same numerics, no
+        # batch-1 first-conv relayout copies (see ops/preprocess.py).
+        # Int8 engines keep the standard path (their quant context taps
+        # activations in trace order starting at the first conv).
+        s2d = engine.model.apply_s2d
+        s2d_factor = getattr(s2d, "factor", 2) if s2d is not None else 0
+        use_s2d = (s2d is not None
+                   and engine.precision != "int8"
+                   and getattr(s2d, "supports", lambda c: True)(engine.cfg)
+                   and dst_h % max(s2d_factor, 1) == 0
+                   and dst_w % max(s2d_factor, 1) == 0)
+
         def fused(params, frames, src_hw):
+            if use_s2d:
+                x2 = letterbox_s2d_batch(frames, src_hw, dst_h, dst_w,
+                                         bgr_to_rgb=bgr_to_rgb,
+                                         out_dtype=dtype,
+                                         factor=s2d_factor)
+                return engine.model.apply_s2d(params, x2, engine.cfg)
             x = letterbox_batch(frames, src_hw, dst_h, dst_w,
                                 bgr_to_rgb=bgr_to_rgb)
             x = x.astype(dtype)
@@ -58,7 +78,32 @@ class ServingPipeline:
             return engine.raw_apply(params, x)
 
         self._jitted = jax.jit(fused, donate_argnums=(1,) if donate else ())
+        self._fused = fused  # traceable; bench/stream wrappers re-jit it
         self._params = engine.params
+
+    def stream_fn(self, k: int):
+        """Jitted scan over k frames, each processed at batch 1.
+
+        Serving a request stream one image at a time is the reference's
+        serving model (yolo11_det.cpp enqueues per image); on this
+        environment every dispatch crosses a network relay (~0.2-1 ms RPC
+        that does not pipeline), so benchmarking per-dispatch marginals
+        measures the relay, not the chip. The scan keeps the per-image
+        batch-1 program but amortizes dispatch over k frames — the number
+        a locally-driven chip sustains.
+
+        Returns fn(params, frames (k,H,W,3) u8, src_hw (k,2)) → stacked outs.
+        """
+
+        def stream(params, frames, src_hw):
+            def body(_, fr_hw):
+                fr, hw = fr_hw
+                return None, self._fused(params, fr[None], hw[None])
+
+            _, outs = jax.lax.scan(body, None, (frames, src_hw))
+            return outs
+
+        return jax.jit(stream)
 
     def __call__(self, frames: np.ndarray, src_hw: Optional[np.ndarray] = None):
         if src_hw is None:

@@ -359,8 +359,30 @@ def apply(params, x, cfg: Yolov8Cfg):
         out, _ = _decode_and_nms(params, feats, x, cfg, (8, 16, 32))
         return out if isinstance(out, dict) else out.as_dict()
     y = B.conv_a(params["m0"], x, stride=2)
-    y = B.conv_a(params["m1"], y, stride=2)
-    y = B.c2f_a(params["m2"], y, shortcut=True)
+    x1 = B.conv_a(params["m1"], y, stride=2)
+    return _apply_main_from_x1(params, x1, cfg)
+
+
+def apply_s2d(params, x4, cfg: Yolov8Cfg):
+    """Forward from the 4×4 space-to-depth parity tensor — fused-serving
+    fast path for the standard v8 det/seg/pose/obb graph (the two stride-2
+    stem convs run as wide-K 2×2 convs; see models/yolo11.py apply_s2d)."""
+    if cfg.task == "cls" or cfg.variant in ("p2", "5u"):
+        raise ValueError("apply_s2d supports the standard v8 det graph")
+    y1 = nn.silu(nn.conv2d_s2d4(
+        x4, nn.s2d4_conv_weights(params["m0"]["w"]), params["m0"]["b"]))
+    x1 = nn.silu(nn.conv2d_s2d(
+        y1, nn.s2d_conv_weights(params["m1"]["w"]), params["m1"]["b"]))
+    return _apply_main_from_x1(params, x1, cfg)
+
+
+apply_s2d.factor = 4
+apply_s2d.supports = lambda cfg: (cfg.task != "cls"
+                                  and cfg.variant not in ("p2", "5u"))
+
+
+def _apply_main_from_x1(params, x1, cfg: Yolov8Cfg):
+    y = B.c2f_a(params["m2"], x1, shortcut=True)
     y = B.conv_a(params["m3"], y, stride=2)
     c4 = B.c2f_a(params["m4"], y, shortcut=True)
     y = B.conv_a(params["m5"], c4, stride=2)
@@ -378,7 +400,7 @@ def apply(params, x, cfg: Yolov8Cfg):
     p5 = B.c2f_a(params["m21"], jnp.concatenate([y, p5_in], -1), shortcut=False)
     feats = [p3, p4, p5]
 
-    out, _ = _decode_and_nms(params, feats, x, cfg, (8, 16, 32))
+    out, _ = _decode_and_nms(params, feats, x1, cfg, (8, 16, 32))
     if isinstance(out, dict):  # raw contract
         if cfg.task == "seg":
             out["proto"] = _proto_a(params["proto"], feats[0])
@@ -405,5 +427,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov8Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv8 det/seg (reference: yolov8/)",
 ))

@@ -28,7 +28,31 @@ import jax.numpy as jnp
 Array = jax.Array
 
 __all__ = ["box_iou_matrix", "probiou_matrix", "nms_mask", "nms_greedy",
-           "select_and_nms", "Detections"]
+           "select_and_nms", "Detections", "topk_hier"]
+
+
+def topk_hier(x: Array, k: int, nseg: int = 4) -> Tuple[Array, Array]:
+    """Exact top-k via segmented partial sorts (drop-in for lax.top_k).
+
+    On TPU, lax.top_k over a long axis lowers to one full-length variadic
+    sort in a 1-sublane layout (~72 µs for 8400 at batch 1). Splitting into
+    nseg segments sorts them in parallel across sublanes, then re-top-ks the
+    nseg·k survivors: every global top-k element is in its own segment's
+    top-k, and concat order (segment-major) preserves lax.top_k's
+    lower-index tie-breaking — so values AND indices match bit-exactly.
+    Falls back to lax.top_k when the axis doesn't split cleanly.
+    """
+    n = x.shape[-1]
+    if n % nseg or n // nseg < k:
+        return jax.lax.top_k(x, k)
+    seg = n // nseg
+    xs = x.reshape(*x.shape[:-1], nseg, seg)
+    v, i = jax.lax.top_k(xs, k)                          # (..., nseg, k)
+    gi = i + (jnp.arange(nseg) * seg)[..., :, None]
+    v = v.reshape(*x.shape[:-1], nseg * k)
+    gi = gi.reshape(*x.shape[:-1], nseg * k)
+    v2, j = jax.lax.top_k(v, k)
+    return v2, jnp.take_along_axis(gi, j, axis=-1)
 
 
 class Detections(NamedTuple):
@@ -166,7 +190,7 @@ def select_topk(boxes: Array, scores: Array, classes: Array,
     def one(bx, sc, cl, ex):
         masked = jnp.where(sc >= conf_thresh, sc, -1.0)
         k = min(max_det, sc.shape[0])
-        top_sc, top_i = jax.lax.top_k(masked, k)
+        top_sc, top_i = topk_hier(masked, k)
         valid = top_sc >= conf_thresh
         return Detections(
             boxes=bx[top_i],
@@ -209,7 +233,7 @@ def select_and_nms(
         cand = sc >= conf_thresh
         masked = jnp.where(cand, sc, -1.0)
         k = min(max_det, sc.shape[0])
-        top_sc, top_i = jax.lax.top_k(masked, k)
+        top_sc, top_i = topk_hier(masked, k)
         top_bx = bx[top_i]
         top_cl = cl[top_i]
         top_ex = ex[top_i] if ex is not None else None
