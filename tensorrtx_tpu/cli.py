@@ -246,6 +246,24 @@ def main(argv=None):
     p.add_argument("--formula-yaml", help="FormulaNet tokenizer yaml")
     p.set_defaults(fn=cmd_ppocr)
 
+    g = sub.add_parser(
+        "gen-wts", help="checkpoint (.pt/.pth/.npz) → .wts (≙ gen_wts.py)")
+    g.add_argument("-w", "--weights", required=True)
+    g.add_argument("-o", "--output", required=True)
+    g.add_argument("--format", default="auto", choices=["auto", "torch", "npz"])
+    g.add_argument("--exclude", default="")
+    g.add_argument("--strip-prefix", default="")
+
+    def cmd_gen_wts(args):
+        from tensorrtx_tpu.tools.gen_wts import convert
+
+        n = convert(args.weights, args.output, args.format, args.exclude,
+                    args.strip_prefix)
+        print(f"wrote {n} tensors to {args.output}")
+        return 0
+
+    g.set_defaults(fn=cmd_gen_wts)
+
     d = sub.add_parser("dump", help="tensor-dump parity tool (≙ ppocrv5_dump)")
     d.add_argument("model")
     d.add_argument("prefix", help="output prefix (writes .npz + .json)")

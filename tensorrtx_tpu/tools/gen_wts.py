@@ -1,0 +1,109 @@
+"""Checkpoint → .wts exporter (the reference ships one gen_wts.py per model,
+e.g. yolo11/gen_wts.py, lenet/lenet.py save path; this is the one shared
+user-facing tool).
+
+Supported inputs:
+  - torch checkpoints (.pt / .pth): plain state_dicts, {'state_dict': ...}
+    wrappers (mmlab/lightning), and ultralytics {'model': nn.Module} bundles
+    (the yolo family's .pt layout — matches yolo11/gen_wts.py semantics:
+    ckpt['model'].float().state_dict()).
+  - .npz archives (name → array): the universal escape hatch for frameworks
+    we can't import here (e.g. dump Paddle inference weights to npz with
+    paddle installed elsewhere, then convert).
+
+Weight names pass through unchanged — model builders in this framework use
+the upstream checkpoints' naming (torchvision/ultralytics/paddle), so a
+converted file feeds `cli build` directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from typing import Dict
+
+import numpy as np
+
+__all__ = ["extract_tensors", "convert", "main"]
+
+
+def _from_torch(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # unwrap common containers
+    if hasattr(ckpt, "state_dict"):          # a bare nn.Module
+        sd = ckpt.float().state_dict() if hasattr(ckpt, "float") else ckpt.state_dict()
+    elif isinstance(ckpt, dict) and "model" in ckpt and hasattr(ckpt["model"], "state_dict"):
+        # ultralytics bundle (yolo11/gen_wts.py: model = ckpt['model'].float())
+        sd = ckpt["model"].float().state_dict()
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt and isinstance(ckpt["state_dict"], dict):
+        sd = ckpt["state_dict"]
+    elif isinstance(ckpt, dict):
+        sd = ckpt
+    else:
+        raise ValueError(f"unrecognized torch checkpoint structure: {type(ckpt)}")
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().float().cpu().numpy()
+        elif isinstance(v, np.ndarray):
+            out[k] = v.astype(np.float32)
+        # non-tensor entries (e.g. metadata) are skipped
+    return out
+
+
+def _from_npz(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: np.asarray(z[k], np.float32) for k in z.files}
+
+
+def extract_tensors(path: str, fmt: str = "auto") -> Dict[str, np.ndarray]:
+    if fmt == "auto":
+        fmt = "npz" if path.endswith(".npz") else "torch"
+    if fmt == "torch":
+        return _from_torch(path)
+    if fmt == "npz":
+        return _from_npz(path)
+    raise ValueError(f"unknown format {fmt!r} (use torch|npz)")
+
+
+def convert(input_path: str, output_path: str, fmt: str = "auto",
+            exclude: str = "", strip_prefix: str = "") -> int:
+    """Convert a checkpoint to .wts; returns the number of tensors written."""
+    from tensorrtx_tpu.core.wts import save_wts
+
+    tensors = extract_tensors(input_path, fmt)
+    if exclude:
+        pat = re.compile(exclude)
+        tensors = {k: v for k, v in tensors.items() if not pat.search(k)}
+    if strip_prefix:
+        tensors = {
+            (k[len(strip_prefix):] if k.startswith(strip_prefix) else k): v
+            for k, v in tensors.items()}
+    if not tensors:
+        raise ValueError("no tensors extracted from checkpoint")
+    save_wts(output_path, tensors)
+    return len(tensors)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        "gen_wts", description="checkpoint (.pt/.pth/.npz) → .wts")
+    ap.add_argument("-w", "--weights", required=True, help="input checkpoint")
+    ap.add_argument("-o", "--output", required=True, help="output .wts path")
+    ap.add_argument("--format", default="auto", choices=["auto", "torch", "npz"])
+    ap.add_argument("--exclude", default="",
+                    help="regex of tensor names to drop")
+    ap.add_argument("--strip-prefix", default="",
+                    help="prefix to remove from tensor names (e.g. 'module.')")
+    args = ap.parse_args(argv)
+    n = convert(args.weights, args.output, args.format, args.exclude,
+                args.strip_prefix)
+    print(f"wrote {n} tensors to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
