@@ -97,18 +97,19 @@ def make_crnn_rec_fn(engine, input_h: int = 32, input_w: int = 100):
     from tensorrtx_tpu.ops.ctc import ctc_greedy_decode
 
     def rec(crop: np.ndarray) -> Tuple[str, float]:
+        from tensorrtx_tpu.pipelines._imaging import bilinear_resize
+
         if crop.ndim == 3:
             gray = crop.astype(np.float32).mean(-1)
         else:
             gray = crop.astype(np.float32)
         h, w = gray.shape
-        new_w = max(int(round(w * input_h / h)), 1)
-        # nearest resize (host, cheap); rec quality path can use PIL
-        yi = (np.arange(input_h) * h / input_h).astype(np.int32)
-        xi = (np.arange(min(new_w, input_w)) * w / new_w).astype(np.int32)
-        resized = gray[yi][:, xi]
+        # bilinear aspect resize to the rec height (reference resizes crops
+        # bilinearly, ppocrv5/src/preprocess.cu:97; nearest blurs thin glyphs)
+        new_w = min(max(int(round(w * input_h / h)), 1), input_w)
+        resized = bilinear_resize(gray[..., None], input_h, new_w)[..., 0]
         buf = np.zeros((input_h, input_w), np.float32)
-        buf[:, :resized.shape[1]] = resized
+        buf[:, :new_w] = resized
         x = (buf / 255.0 - 0.5) / 0.5
         out = engine(x[None, :, :, None])
         ids = np.asarray(out["ids"])[:, 0]
@@ -125,15 +126,25 @@ def make_dbnet_det_fn(engine, cfg=None):
     cfg = cfg or engine.cfg
 
     def det(image: np.ndarray):
+        from tensorrtx_tpu.pipelines._imaging import bilinear_resize
+
         h, w = image.shape[:2]
+        # images larger than the bucket are resized long-side to fit (the
+        # reference scales to its det shape, ppocr det preprocess) instead
+        # of being cropped; boxes are mapped back to image coords below
+        scale = min(1.0, cfg.input_h / h, cfg.input_w / w)
+        ch, cw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+        im = image.astype(np.float32)
+        if scale < 1.0:
+            im = bilinear_resize(im if im.ndim == 3 else im[..., None],
+                                 ch, cw)
+        im = (im / 255.0 - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
         buf = np.zeros((cfg.input_h, cfg.input_w, 3), np.float32)
-        im = image.astype(np.float32) / 255.0
-        im = (im - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
-        ch = min(h, cfg.input_h)
-        cw = min(w, cfg.input_w)
         buf[:ch, :cw] = im[:ch, :cw]
         prob = engine(buf[None])
         boxes = postprocess(prob, cfg)[0]
+        if scale < 1.0:
+            boxes = [(np.asarray(b, np.float32) / scale, s) for b, s in boxes]
         return boxes
 
     return det

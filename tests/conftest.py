@@ -26,3 +26,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Fast tier (`pytest -m fast`): the op/core/tooling unit tests — everything
+# that doesn't build a full model graph. CI and pre-commit run this tier;
+# the full model-parity suite (~18 min on one CPU) runs before release.
+_FAST_MODULES = {
+    "test_wts", "test_native_wts", "test_nms", "test_soft_nms",
+    "test_preprocess", "test_preprocess_mm", "test_ocr_preprocess",
+    "test_ocr_pipeline", "test_fused_stem", "test_gen_wts", "test_quant",
+    "test_engine_export", "test_tasks", "test_roi_dcn", "test_pallas_kernels",
+    "test_lenet", "test_small_models",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
