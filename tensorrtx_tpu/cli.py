@@ -62,19 +62,25 @@ def cmd_build(args):
         print(f"int8 engine saved → {args.output} "
               f"(calib table int8calib.json inside)")
         return
-    eng.save(args.output)
-    print(f"engine saved → {args.output}")
+    eng.save(args.output, export_aot=getattr(args, "aot", False))
+    print(f"engine saved → {args.output}"
+          + (" (with AOT program)" if getattr(args, "aot", False) else ""))
 
 
 def cmd_run(args):
     import numpy as np
 
-    from tensorrtx_tpu.core.engine import load_engine
+    from tensorrtx_tpu.core.engine import enable_persistent_cache, load_engine
     from tensorrtx_tpu.core.runner import (ServingPipeline, load_image,
                                            read_files_in_dir)
 
     from tensorrtx_tpu.core.tasks import run_task, task_for
 
+    import os as _os
+
+    # engine-local executable cache: first run compiles, later runs
+    # deserialize (the -d fast path; TRT deserializeCudaEngine analog)
+    enable_persistent_cache(_os.path.join(args.engine, "xla_cache"))
     eng = load_engine(args.engine)
     import os
 
@@ -219,6 +225,8 @@ def main(argv=None):
                    choices=["fp32", "bf16", "fp16"])
     b.add_argument("--set", action="append", metavar="KEY=VAL",
                    help="config override, e.g. --set scale=n")
+    b.add_argument("--aot", action="store_true",
+                   help="also serialize the jax.export AOT program (batch 1)")
     b.add_argument("--int8-calib-dir")
     b.add_argument("--calib-method", default="entropy",
                    choices=["entropy", "percentile", "absmax"])

@@ -28,10 +28,24 @@ from tensorrtx_tpu.core.params import WeightMap, resolve_dtype
 from tensorrtx_tpu.core.registry import get_model
 from tensorrtx_tpu.core.wts import load_wts
 
-__all__ = ["Engine", "build_engine", "load_engine"]
+__all__ = ["Engine", "build_engine", "load_engine", "enable_persistent_cache"]
 
 _META_FILE = "meta.json"
 _PARAMS_FILE = "params.npz"
+_AOT_FILE = "program.stablehlo"
+
+
+def enable_persistent_cache(path: str) -> None:
+    """Point JAX's persistent compilation cache at an engine-local dir.
+
+    The TPU analog of TensorRT's serialized .engine: the first `run` pays
+    the XLA compile, every later process reuses the compiled executable
+    from disk (measured 1.8 s → 0.2 s even through the remote-compile
+    relay). `cli run` calls this with <engine>/xla_cache."""
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def _flatten_params(tree):
@@ -79,8 +93,30 @@ class Engine:
             return self.model.apply(p, x, self.cfg)
 
         self._jitted = jax.jit(_run)
+        self._aot_path: Optional[str] = None
+        self._aot_batch: Optional[int] = None
+        self._aot_fn = None
+
+    def attach_aot(self, path: str, batch: int) -> None:
+        """Use a serialized jax.export program (written by save(export_aot=
+        True)) for calls at its export batch — deserialization skips the
+        Python re-trace that Engine.load otherwise pays (the TRT
+        deserializeCudaEngine analog)."""
+        self._aot_path, self._aot_batch = path, batch
+
+    def _aot(self):
+        if self._aot_fn is None:
+            from jax import export as jexport
+
+            with open(self._aot_path, "rb") as f:
+                self._aot_fn = jexport.deserialize(f.read()).call
+        return self._aot_fn
 
     def __call__(self, x):
+        if self._aot_path is not None and x.shape[0] == self._aot_batch:
+            dtype = (resolve_dtype(self.precision)
+                     if self.precision != "int8" else jnp.float32)
+            return self._aot()(self.params, jnp.asarray(x, dtype))
         return self._jitted(self.params, x)
 
     def raw_apply(self, params, x):
@@ -98,7 +134,11 @@ class Engine:
 
     # -- serialization -------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, export_aot: bool = False,
+             aot_batch: int = 1) -> None:
+        """Write the engine dir. With ``export_aot``, also serialize the
+        jax.export AOT program (deserialized by `load`, skipping re-trace);
+        off by default since tracing big graphs at save time costs seconds."""
         os.makedirs(path, exist_ok=True)
         flat, none_paths = _flatten_params(self.params)
         np.savez(os.path.join(path, _PARAMS_FILE), **flat)
@@ -111,6 +151,10 @@ class Engine:
             "none_paths": none_paths,
             "format_version": 1,
         }
+        if export_aot and self.precision != "int8":
+            self.export_stablehlo(os.path.join(path, _AOT_FILE),
+                                  batch=aot_batch)
+            meta["aot_batch"] = aot_batch
         with open(os.path.join(path, _META_FILE), "w") as f:
             json.dump(meta, f, indent=1)
 
@@ -140,7 +184,11 @@ class Engine:
                 else jnp.asarray(a), params)
         else:
             params = jax.tree.map(jnp.asarray, params)
-        return Engine(meta["name"], params, cfg, precision)
+        eng = Engine(meta["name"], params, cfg, precision)
+        aot = os.path.join(path, _AOT_FILE)
+        if meta.get("aot_batch") and os.path.exists(aot):
+            eng.attach_aot(aot, int(meta["aot_batch"]))
+        return eng
 
     def export_stablehlo(self, path: str, batch: int = 1) -> None:
         """Serialize the AOT program via jax.export (the .engine blob analog)."""

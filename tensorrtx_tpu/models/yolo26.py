@@ -168,8 +168,23 @@ def apply(params, x, cfg: Yolo26Cfg):
         return nn.linear(y, params["m10_linear"]["w"],
                          params["m10_linear"]["b"])
     y = B.conv_a(params["m0"], x, stride=2)
-    y = B.conv_a(params["m1"], y, stride=2)
-    y = B.c3k2_a(params["m2"], y)
+    x1 = B.conv_a(params["m1"], y, stride=2)
+    return _apply_from_x1(params, x1, cfg)
+
+
+def apply_s2d(params, x4, cfg: Yolo26Cfg):
+    """Fused-serving fast path from the 4×4 space-to-depth letterbox tensor
+    (see models/yolo11.py apply_s2d)."""
+    return _apply_from_x1(
+        params, B.stem_s2d_a(params["m0"], params["m1"], x4), cfg)
+
+
+apply_s2d.factor = 4
+apply_s2d.supports = lambda cfg: cfg.task not in ("cls",)
+
+
+def _apply_from_x1(params, x1, cfg: Yolo26Cfg):
+    y = B.c3k2_a(params["m2"], x1)
     y = B.conv_a(params["m3"], y, stride=2)
     c4 = B.c3k2_a(params["m4"], y)
     y = B.conv_a(params["m5"], c4, stride=2)
@@ -237,5 +252,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolo26Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLO26 det, NMS-free one2one head (reference: yolo26/)",
 ))

@@ -217,8 +217,22 @@ def build_params(wm, cfg: Yolov10Cfg):
 
 def apply(params, x, cfg: Yolov10Cfg):
     y = B.conv_a(params["m0"], x, stride=2)
-    y = B.conv_a(params["m1"], y, stride=2)
-    y = _block_a(params["m2"], y, shortcut=True)
+    x1 = B.conv_a(params["m1"], y, stride=2)
+    return _apply_from_x1(params, x1, cfg)
+
+
+def apply_s2d(params, x4, cfg: Yolov10Cfg):
+    """Fused-serving fast path from the 4×4 space-to-depth letterbox tensor
+    (see models/yolo11.py apply_s2d)."""
+    return _apply_from_x1(
+        params, B.stem_s2d_a(params["m0"], params["m1"], x4), cfg)
+
+
+apply_s2d.factor = 4
+
+
+def _apply_from_x1(params, x1, cfg: Yolov10Cfg):
+    y = _block_a(params["m2"], x1, shortcut=True)
     y = B.conv_a(params["m3"], y, stride=2)
     c4 = _block_a(params["m4"], y, shortcut=True)
     y = _scdown_a(params["m5"], c4)
@@ -253,7 +267,7 @@ def apply(params, x, cfg: Yolov10Cfg):
         z = B.conv_a(r["b1"], z)
         cls_lv.append(nn.conv2d(z, r["c"]["w"], r["c"]["b"]))
 
-    b = x.shape[0]
+    b = x1.shape[0]
     box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
                                 for v in box_lv], 1)
     cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
@@ -277,5 +291,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov10Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv10 det, NMS-free one2one head (reference: yolov10/)",
 ))

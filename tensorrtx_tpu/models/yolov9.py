@@ -333,8 +333,28 @@ def apply(params, x, cfg: Yolov9Cfg):
     if cfg.scale in _CONVERTED:
         return _apply_converted(params, x, cfg)
     y = B.conv_a(params["c1"], x, stride=2)
-    y = B.conv_a(params["c2"], y, stride=2)
-    y = _elan4_a(params["e3"], y)
+    x1 = B.conv_a(params["c2"], y, stride=2)
+    # PGI auxiliary branch re-reads the raw image through its own stem
+    y2 = B.conv_a(params["c26"], x, stride=2)
+    x1b = B.conv_a(params["c27"], y2, stride=2)
+    return _apply_from_x1(params, x1, x1b, cfg)
+
+
+def apply_s2d(params, x4, cfg: Yolov9Cfg):
+    """Fused-serving fast path from the 4×4 space-to-depth letterbox tensor
+    (see models/yolo11.py apply_s2d). Both stems — the GELAN main stem and
+    the PGI auxiliary stem — consume the same parity tensor."""
+    x1 = B.stem_s2d_a(params["c1"], params["c2"], x4)
+    x1b = B.stem_s2d_a(params["c26"], params["c27"], x4)
+    return _apply_from_x1(params, x1, x1b, cfg)
+
+
+apply_s2d.factor = 4
+apply_s2d.supports = lambda cfg: cfg.scale not in _CONVERTED
+
+
+def _apply_from_x1(params, x1, x1b, cfg: Yolov9Cfg):
+    y = _elan4_a(params["e3"], x1)
     y = _adown_a(params["a4"], y)
     e5 = _elan4_a(params["e5"], y)
     y = _adown_a(params["a6"], e5)
@@ -349,9 +369,7 @@ def apply(params, x, cfg: Yolov9Cfg):
     cbl24 = nn.conv2d(e7, params["cbl24"]["w"], params["cbl24"]["b"])
     cbl25 = nn.conv2d(e9, params["cbl25"]["w"], params["cbl25"]["b"])
 
-    y = B.conv_a(params["c26"], x, stride=2)
-    y = B.conv_a(params["c27"], y, stride=2)
-    y = _elan4_a(params["e28"], y)
+    y = _elan4_a(params["e28"], x1b)
     a29 = _adown_a(params["a29"], y)
     # CBFuse: upsample each tap to the base level and sum (block.cpp:314-341)
     f30 = (a29 + cbl23[..., :256]
@@ -371,7 +389,7 @@ def apply(params, x, cfg: Yolov9Cfg):
               for i, f in enumerate(feats)]
     cls_lv = [_branch3(params["head"]["cv3"][i], f)
               for i, f in enumerate(feats)]
-    b = x.shape[0]
+    b = x1.shape[0]
     box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
                                 for v in box_lv], 1)
     cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
@@ -395,5 +413,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov9Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv9-c, GELAN + PGI reversible branch (reference: yolov9/)",
 ))

@@ -184,3 +184,31 @@ def test_yolov8_apply_s2d_matches_apply():
     np.testing.assert_allclose(np.asarray(got["boxes"][0][:n]),
                                np.asarray(ref["boxes"][0][:n]),
                                rtol=1e-3, atol=5e-2)
+
+
+@pytest.mark.parametrize("name", ["yolov9", "yolov10", "yolov12", "yolo26"])
+def test_detector_apply_s2d_matches_apply(name):
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+
+    model = get_model(name)
+    cfg = model.default_cfg()
+    over = dict(input_h=64, input_w=64, max_det=16)
+    if hasattr(cfg, "scale") and name != "yolov9":
+        over["scale"] = "n"
+    cfg = dataclasses.replace(cfg, **over)
+    params = model.build_params(RandomWeightMap(seed=2), cfg)
+    rng = np.random.default_rng(9)
+    fr = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3), np.uint8))
+    hw = jnp.asarray([[64, 52]], jnp.int32)
+
+    x = letterbox_batch(fr, hw, 64, 64)
+    ref = model.apply(params, x.astype(jnp.float32), cfg)
+    x4 = letterbox_s2d_batch(fr, hw, 64, 64, out_dtype=jnp.float32,
+                             factor=model.apply_s2d.factor)
+    got = model.apply_s2d(params, x4, cfg)
+    assert int(ref["count"][0]) == int(got["count"][0])
+    n = int(ref["count"][0])
+    np.testing.assert_allclose(np.asarray(got["boxes"][0][:n]),
+                               np.asarray(ref["boxes"][0][:n]),
+                               rtol=1e-3, atol=5e-2)
