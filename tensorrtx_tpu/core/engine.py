@@ -113,7 +113,9 @@ class Engine:
         return self._aot_fn
 
     def __call__(self, x):
-        if self._aot_path is not None and x.shape[0] == self._aot_batch:
+        # getattr: subclasses (e.g. QuantizedEngine) may bypass __init__
+        if getattr(self, "_aot_path", None) is not None \
+                and x.shape[0] == self._aot_batch:
             dtype = (resolve_dtype(self.precision)
                      if self.precision != "int8" else jnp.float32)
             return self._aot()(self.params, jnp.asarray(x, dtype))

@@ -301,9 +301,7 @@ def _apply_from_feats3(params, feats3, cfg: Yolo11Cfg):
     strides = (8, 16, 32)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w, strides)
     ltrb = nn.dfl(box_dist, cfg.reg_max)          # (B, N, 4) float32
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, axis=-1)
-    cls_id = jnp.argmax(probs, axis=-1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
 
     extras = None
     if cfg.task == "obb":

@@ -219,9 +219,7 @@ def _apply_from_x1(params, x1, cfg: Yolo26Cfg):
     cls_logits = _flatten_levels(cls_lv).astype(jnp.float32)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    probs = jax.nn.sigmoid(cls_logits)
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
 
     extras = None
     if cfg.task == "obb":

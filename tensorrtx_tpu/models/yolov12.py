@@ -255,9 +255,7 @@ def _apply_from_x1(params, x1, cfg: Yolov12Cfg):
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
     ltrb = nn.dfl(box_dist, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     extras = None
     if cfg.task == "seg":

@@ -412,9 +412,7 @@ def apply(params, x, cfg: Yolov13Cfg):
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
     ltrb = nn.dfl(box_dist, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}

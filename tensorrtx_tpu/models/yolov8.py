@@ -305,9 +305,7 @@ def _decode_and_nms(params, feats, x, cfg, strides):
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               strides)
     ltrb = nn.dfl(box_dist, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
 
     extras = None
     if cfg.task == "obb":

@@ -289,9 +289,7 @@ def _decode_tail(params, box_lv, cls_lv, x, cfg):
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
     ltrb = nn.dfl(box_dist, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}
@@ -397,9 +395,7 @@ def _apply_from_x1(params, x1, x1b, cfg: Yolov9Cfg):
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
     ltrb = nn.dfl(box_dist, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    conf = jnp.max(probs, -1)
-    cls_id = jnp.argmax(probs, -1).astype(jnp.float32)
+    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}

@@ -71,7 +71,8 @@ def sharded_serving_step(engine, mesh: Mesh, src_h: int, src_w: int,
     Returns (step_fn, sharded_params). step_fn(params, frames_u8, src_hw)
     runs preprocess + network + decode + NMS on all chips.
     """
-    from tensorrtx_tpu.ops.preprocess import letterbox_batch
+    from tensorrtx_tpu.ops.preprocess import (letterbox_batch,
+                                              letterbox_s2d_batch)
 
     cfg = engine.cfg
     model = engine.model
@@ -85,7 +86,22 @@ def sharded_serving_step(engine, mesh: Mesh, src_h: int, src_w: int,
     frames_sharding = NamedSharding(mesh, P("dp", None, None, None))
     hw_sharding = NamedSharding(mesh, P("dp", None))
 
+    # per-chip dp batches are small, so the batch-1 s2d fast path (see
+    # ops/preprocess.letterbox_s2d) applies here too when the model has it
+    s2d = getattr(model, "apply_s2d", None)
+    factor = getattr(s2d, "factor", 2) if s2d is not None else 0
+    use_s2d = (s2d is not None
+               and getattr(engine, "precision", "fp32") != "int8"
+               and getattr(s2d, "supports", lambda c: True)(cfg)
+               and cfg.input_h % max(factor, 1) == 0
+               and cfg.input_w % max(factor, 1) == 0)
+
     def step(p, frames, src_hw):
+        if use_s2d:
+            x = letterbox_s2d_batch(frames, src_hw, cfg.input_h, cfg.input_w,
+                                    bgr_to_rgb=bgr_to_rgb, out_dtype=dtype,
+                                    factor=factor)
+            return s2d(p, x, cfg)
         x = letterbox_batch(frames, src_hw, cfg.input_h, cfg.input_w,
                             bgr_to_rgb=bgr_to_rgb)
         x = x.astype(dtype)
