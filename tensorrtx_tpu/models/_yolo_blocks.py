@@ -258,11 +258,13 @@ def c2psa_a(p, x):
     return conv_a(p["cv2"], jnp.concatenate([a, bpart], axis=-1))
 
 
-def stem_s2d_a(p0, p1, x4):
-    """The two 3×3 stride-2 stem convs evaluated on a 4×4 space-to-depth
+def stem_s2d_a(p0, p1, x4, p0_pad=None):
+    """The two stride-2 stem convs evaluated on a 4×4 space-to-depth
     input (ops.preprocess.letterbox_s2d factor=4) — the batch-1 serving
     fast path shared by the ultralytics-style detectors (yolo11/v8/v9/v10/
-    v12/26). Numerically identical to conv_a(p0, x, s2) → conv_a(p1, ·, s2);
+    v12/26 3×3 stems; yolov5's 6×6 p2 stem via p0_pad=2). Numerically
+    identical to conv_a(p0, x, s2, pad=p0_pad) → conv_a(p1, ·, s2);
     see ops/nn.py conv2d_s2d4."""
-    y1 = nn.silu(nn.conv2d_s2d4(x4, nn.s2d4_conv_weights(p0["w"]), p0["b"]))
+    y1 = nn.silu(nn.conv2d_s2d4(
+        x4, nn.s2d4_conv_weights(p0["w"], p0_pad), p0["b"]))
     return nn.silu(nn.conv2d_s2d(y1, nn.s2d_conv_weights(p1["w"]), p1["b"]))

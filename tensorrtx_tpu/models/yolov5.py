@@ -135,8 +135,24 @@ def apply(params, x, cfg: Yolov5Cfg):
     if cfg.task == "cls":
         return _apply_cls(params, x, cfg)
     y = B.conv_a(params["m0"], x, stride=2, pad=2)    # 6x6 s2 p2
-    y = B.conv_a(params["m1"], y, stride=2)
-    y = B.c3_a(params["m2"], y, shortcut=True)
+    x1 = B.conv_a(params["m1"], y, stride=2)
+    return _apply_from_x1(params, x1, cfg)
+
+
+def apply_s2d(params, x4, cfg: Yolov5Cfg):
+    """Fused-serving fast path from the 4×4 space-to-depth letterbox
+    tensor; the 6×6 p2 stem becomes a 3×3 block conv (see
+    ops/nn.s2d4_conv_weights and models/yolo11.py apply_s2d)."""
+    return _apply_from_x1(
+        params, B.stem_s2d_a(params["m0"], params["m1"], x4, p0_pad=2), cfg)
+
+
+apply_s2d.factor = 4
+apply_s2d.supports = lambda cfg: cfg.task != "cls"
+
+
+def _apply_from_x1(params, x1, cfg: Yolov5Cfg):
+    y = B.c3_a(params["m2"], x1, shortcut=True)
     y = B.conv_a(params["m3"], y, stride=2)
     c4 = B.c3_a(params["m4"], y, shortcut=True)
     y = B.conv_a(params["m5"], c4, stride=2)
@@ -157,7 +173,7 @@ def apply(params, x, cfg: Yolov5Cfg):
 
     nc = cfg.num_classes
     extra = 32 if cfg.task == "seg" else 0
-    b = x.shape[0]
+    b = x1.shape[0]
     strides = (8, 16, 32)
     boxes_all, conf_all, cls_all, coef_all = [], [], [], []
     for i, f in enumerate([p3, p4, p5]):
@@ -214,5 +230,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov5Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv5 det, anchor-based decode (reference: yolov5/)",
 ))

@@ -118,42 +118,61 @@ def conv2d(
     return out
 
 
-def s2d_conv_weights(w: Array) -> Array:
-    """Rearrange a 3×3 stride-2 HWIO kernel for `conv2d_s2d`.
+def _s2d_block_range(k: int, p: int, off_lo: int, off_hi: int, blk: int):
+    """Block-kernel extent for an s2d conv rewrite: input offsets relative
+    to the anchor block span [off_lo − p, off_hi + k − 1 − p]; returns
+    (t_min, T, pad_before, pad_after) in block units."""
+    r_min, r_max = off_lo - p, off_hi + k - 1 - p
+    t_min, t_max = r_min // blk, r_max // blk
+    return t_min, t_max - t_min + 1, -t_min, t_max
 
-    A 3×3 stride-2 conv on (H, W, C) equals a 2×2 stride-1 conv on the 2×2
+
+def s2d_conv_weights(w: Array, padding: Optional[int] = None):
+    """Rearrange a k×k stride-2 HWIO kernel for `conv2d_s2d`.
+
+    A k×k stride-2 conv on (H, W, C) equals a T×T stride-1 conv on the 2×2
     space-to-depth tensor (H/2, W/2, 4C): output row y reads input rows
-    2y+ky−1 = block row y−1+t with parity a, where ky = 2t+a−1 ∈ [0,3).
-    7 of the 16 (t_y,t_x,a,b) slots are zero (the 9 original taps).
-    Channel blocks are ordered (a, b, c) to match `letterbox_s2d`.
+    2y+ky−p = block row y+t with parity a, where ky = 2t+a+p. For the
+    standard 3×3 p1 that's a 2×2 block kernel (7 of 16 slots zero); for
+    YOLOv5's 6×6 p2 stem a 3×3 block kernel. Channel blocks are ordered
+    (a, b, c) to match `letterbox_s2d`. Returns (w2, (pad_before,
+    pad_after)) for `conv2d_s2d`.
     """
-    assert w.shape[0] == 3 and w.shape[1] == 3, "s2d rewrite is for 3x3 s2"
+    k = w.shape[0]
+    assert w.shape[1] == k, "square kernels only"
+    p = k // 2 if padding is None else padding
     ci, co = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((2, 2, 2, 2, ci, co), w.dtype)
-    for ty in range(2):
+    t_min, T, pb, pa = _s2d_block_range(k, p, 0, 0, 2)
+    w2 = jnp.zeros((T, T, 2, 2, ci, co), w.dtype)
+    for ty in range(T):
         for a in range(2):
-            ky = 2 * ty + a - 1
-            if not 0 <= ky < 3:
+            ky = 2 * (ty + t_min) + a + p
+            if not 0 <= ky < k:
                 continue
-            for tx in range(2):
+            for tx in range(T):
                 for b in range(2):
-                    kx = 2 * tx + b - 1
-                    if 0 <= kx < 3:
+                    kx = 2 * (tx + t_min) + b + p
+                    if 0 <= kx < k:
                         w2 = w2.at[ty, tx, a, b].set(w[ky, kx])
-    return w2.reshape(2, 2, 4 * ci, co)
+    return w2.reshape(T, T, 4 * ci, co), (pb, pa)
 
 
-def conv2d_s2d(x2: Array, w2: Array, b: Optional[Array] = None) -> Array:
-    """3×3 stride-2 conv evaluated on a 2×2 space-to-depth input.
+def conv2d_s2d(x2: Array, w2, b: Optional[Array] = None) -> Array:
+    """Stride-2 conv evaluated on a 2×2 space-to-depth input.
 
     x2 (B, H/2, W/2, 4C) from `letterbox_s2d` (or any s2d rearrange),
-    w2 from `s2d_conv_weights`. Returns (B, H/2, W/2, Co) — numerically
-    identical to conv2d(x, w, stride=2, padding=1) on the full-res x.
-    4× the input-channel depth means XLA's conv emitter gets an
-    MXU-friendly contraction instead of a small-channel strided conv
+    w2 from `s2d_conv_weights` (accepts the (weights, pads) tuple or the
+    bare 3×3-p1 weights for backward compat). Returns (B, H/2, W/2, Co) —
+    numerically identical to conv2d(x, w, stride=2, padding=p) on the
+    full-res x. 4× the input-channel depth means XLA's conv emitter gets
+    an MXU-friendly contraction instead of a small-channel strided conv
     (the batch-1 relayout pathology; see letterbox_s2d docstring).
     """
-    x2p = jnp.pad(x2, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    if isinstance(w2, tuple):
+        w2, (pb, pa) = w2
+    else:
+        pb, pa = 1, 0
+    x2p = jnp.pad(x2, ((0, 0), (pb, pa), (pb, pa), (0, 0)))
     out = lax.conv_general_dilated(
         x2p, w2.astype(x2.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -163,42 +182,53 @@ def conv2d_s2d(x2: Array, w2: Array, b: Optional[Array] = None) -> Array:
     return out
 
 
-def s2d4_conv_weights(w: Array) -> Array:
-    """Rearrange a 3×3 stride-2 HWIO kernel to run on a 4×4 space-to-depth
+def s2d4_conv_weights(w: Array, padding: Optional[int] = None):
+    """Rearrange a k×k stride-2 HWIO kernel to run on a 4×4 space-to-depth
     input and emit its output in 2×2 space-to-depth form (for `conv2d_s2d4`).
 
     Output phase (a', b') at block (u, v) is full-res output row 2u+a',
-    which reads input row 4u + 2a' + ky − 1 = 4(u−1+t_y) + α, so
-    ky = 4t_y + α − 2a' − 3 ∈ [0,3). Input channel blocks are (α, β, c)
+    which reads input row 4u + 2a' + ky − p = 4(u+t_y) + α, so
+    ky = 4t_y + α − 2a' + p ∈ [0,k). Input channel blocks are (α, β, c)
     (matching letterbox_s2d factor=4); output channel blocks (a', b', o)
     are exactly the 2×2-s2d layout `conv2d_s2d` consumes — which is how a
     second stride-2 conv chains on with no relayout. ~28× weight
-    inflation (mostly zeros), but the MXU contraction K goes 27 → 16·C·4.
+    inflation (mostly zeros), but the MXU contraction K goes k²·C → 16·C·T².
+    Standard 3×3 p1 gives a 2×2 block kernel; YOLOv5's 6×6 p2 stem a 3×3.
+    Returns (w4, (pad_before, pad_after)).
     """
-    assert w.shape[0] == 3 and w.shape[1] == 3, "s2d4 rewrite is for 3x3 s2"
+    k = w.shape[0]
+    assert w.shape[1] == k, "square kernels only"
+    p = k // 2 if padding is None else padding
     ci, co = w.shape[2], w.shape[3]
-    w4 = jnp.zeros((2, 2, 4, 4, ci, 2, 2, co), w.dtype)
-    for ty in range(2):
+    t_min, T, pb, pa = _s2d_block_range(k, p, 0, 2, 4)
+    w4 = jnp.zeros((T, T, 4, 4, ci, 2, 2, co), w.dtype)
+    for ty in range(T):
         for ap in range(2):
             for al in range(4):
-                ky = 4 * ty + al - 2 * ap - 3
-                if not 0 <= ky < 3:
+                ky = 4 * (ty + t_min) + al - 2 * ap + p
+                if not 0 <= ky < k:
                     continue
-                for tx in range(2):
+                for tx in range(T):
                     for bp in range(2):
                         for be in range(4):
-                            kx = 4 * tx + be - 2 * bp - 3
-                            if 0 <= kx < 3:
+                            kx = 4 * (tx + t_min) + be - 2 * bp + p
+                            if 0 <= kx < k:
                                 w4 = w4.at[ty, tx, al, be, :, ap, bp, :].set(
                                     w[ky, kx])
-    return w4.reshape(2, 2, 16 * ci, 4 * co)
+    return w4.reshape(T, T, 16 * ci, 4 * co), (pb, pa)
 
 
-def conv2d_s2d4(x4: Array, w4: Array, b: Optional[Array] = None) -> Array:
-    """3×3 stride-2 conv on a 4×4 space-to-depth input, output in 2×2-s2d
+def conv2d_s2d4(x4: Array, w4, b: Optional[Array] = None) -> Array:
+    """Stride-2 conv on a 4×4 space-to-depth input, output in 2×2-s2d
     form (B, H/4, W/4, 4·Co). Chain a second stride-2 conv with
-    `conv2d_s2d` directly on the result. Bias is applied per output phase."""
-    x4p = jnp.pad(x4, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    `conv2d_s2d` directly on the result. Bias is applied per output phase.
+    w4: the (weights, pads) tuple from `s2d4_conv_weights` (or bare
+    3×3-p1 weights for backward compat)."""
+    if isinstance(w4, tuple):
+        w4, (pb, pa) = w4
+    else:
+        pb, pa = 1, 0
+    x4p = jnp.pad(x4, ((0, 0), (pb, pa), (pb, pa), (0, 0)))
     out = lax.conv_general_dilated(
         x4p, w4.astype(x4.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

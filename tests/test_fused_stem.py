@@ -212,3 +212,28 @@ def test_detector_apply_s2d_matches_apply(name):
     np.testing.assert_allclose(np.asarray(got["boxes"][0][:n]),
                                np.asarray(ref["boxes"][0][:n]),
                                rtol=1e-3, atol=5e-2)
+
+
+def test_yolov5_apply_s2d_matches_apply():
+    """The 6x6 p2 stem exercises the generalized k/p s2d rewrite."""
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+
+    model = get_model("yolov5")
+    cfg = dataclasses.replace(model.default_cfg(), scale="n", input_h=64,
+                              input_w=64, max_det=16)
+    params = model.build_params(RandomWeightMap(seed=3), cfg)
+    rng = np.random.default_rng(10)
+    fr = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3), np.uint8))
+    hw = jnp.asarray([[64, 44]], jnp.int32)
+
+    x = letterbox_batch(fr, hw, 64, 64)
+    ref = model.apply(params, x.astype(jnp.float32), cfg)
+    x4 = letterbox_s2d_batch(fr, hw, 64, 64, out_dtype=jnp.float32,
+                             factor=model.apply_s2d.factor)
+    got = model.apply_s2d(params, x4, cfg)
+    assert int(ref["count"][0]) == int(got["count"][0])
+    n = int(ref["count"][0])
+    np.testing.assert_allclose(np.asarray(got["boxes"][0][:n]),
+                               np.asarray(ref["boxes"][0][:n]),
+                               rtol=1e-3, atol=5e-2)
