@@ -186,6 +186,18 @@ class QuantizedEngine:
         with quant_ctx.quant_context(state):
             return self.model.apply(params, x, self.cfg)
 
+    def raw_apply_s2d(self, params, x2):
+        """Traceable int8 forward on the s2d serving fast path: the two
+        rearranged stem convs re-quantize in-trace with the standard path's
+        scales (ops.nn._maybe_quant_conv_s2d — an s2d tensor is a pixel
+        permutation, so scales transfer); the rest consume self.wq in the
+        same trace order as raw_apply."""
+        state = quant_ctx.QuantState(
+            "quant", act_scales=self.act_scales, w_scales=self.w_scales,
+            wq=self.wq)
+        with quant_ctx.quant_context(state):
+            return self.model.apply_s2d(params, x2, self.cfg)
+
     def save(self, path: str) -> None:
         self.engine.save(path)
         save_scale_cache(os.path.join(path, "int8calib.json"),

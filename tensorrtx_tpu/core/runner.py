@@ -54,12 +54,12 @@ class ServingPipeline:
         # Fast path: models exposing apply_s2d consume the letterboxed
         # space-to-depth parity tensor directly — same numerics, no
         # batch-1 first-conv relayout copies (see ops/preprocess.py).
-        # Int8 engines keep the standard path (their quant context taps
-        # activations in trace order starting at the first conv).
+        # Int8 engines route through raw_apply_s2d so their quant context
+        # stays aligned (the s2d stem convs consume the standard path's
+        # scales — an s2d tensor is a pixel permutation of the input).
         s2d = engine.model.apply_s2d
         s2d_factor = getattr(s2d, "factor", 2) if s2d is not None else 0
         use_s2d = (s2d is not None
-                   and engine.precision != "int8"
                    and getattr(s2d, "supports", lambda c: True)(engine.cfg)
                    and dst_h % max(s2d_factor, 1) == 0
                    and dst_w % max(s2d_factor, 1) == 0)
@@ -70,6 +70,8 @@ class ServingPipeline:
                                          bgr_to_rgb=bgr_to_rgb,
                                          out_dtype=dtype,
                                          factor=s2d_factor)
+                if engine.precision == "int8":
+                    return engine.raw_apply_s2d(params, x2)
                 return engine.model.apply_s2d(params, x2, engine.cfg)
             x = letterbox_batch(frames, src_hw, dst_h, dst_w,
                                 bgr_to_rgb=bgr_to_rgb)

@@ -258,6 +258,17 @@ def c2psa_a(p, x):
     return conv_a(p["cv2"], jnp.concatenate([a, bpart], axis=-1))
 
 
+def stem_s1s2_s2d_a(p0, p1, x2, act=nn.silu):
+    """Full-res stride-1 conv + stride-2 conv evaluated on a 2×2
+    space-to-depth input (ops.preprocess.letterbox_s2d factor=2) — the
+    batch-1 serving fast path for stems that open stride-1 on the raw
+    image (yolov7 silu, scaled-yolov4 mish, yolov3 leaky). Numerically
+    identical to act(conv(p0, x, s1)) → act(conv(p1, ·, s2)); see
+    ops/nn.py conv2d_s2d_s1."""
+    y = act(nn.conv2d_s2d_s1(x2, nn.s2d_s1_conv_weights(p0["w"]), p0["b"]))
+    return act(nn.conv2d_s2d(y, nn.s2d_conv_weights(p1["w"]), p1["b"]))
+
+
 def stem_s2d_a(p0, p1, x4, p0_pad=None):
     """The two stride-2 stem convs evaluated on a 4×4 space-to-depth
     input (ops.preprocess.letterbox_s2d factor=4) — the batch-1 serving

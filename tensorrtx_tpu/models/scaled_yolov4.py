@@ -129,9 +129,25 @@ def _decode_level(raw, anchors, stride, nc, ignore_thresh):
 
 
 def apply(params, x, cfg: ScaledYolov4Cfg):
-    nk = params["neck"]
     y = _m(params["c0"], x)
     y = _m(params["c1"], y, stride=2)
+    return _apply_from_c1(params, y, cfg)
+
+
+def apply_s2d(params, x2, cfg: ScaledYolov4Cfg):
+    """Fused-serving fast path from the 2×2 space-to-depth letterbox
+    tensor (mish stem; see models/_yolo_blocks.stem_s1s2_s2d_a)."""
+    import tensorrtx_tpu.models._yolo_blocks as B
+    return _apply_from_c1(
+        params,
+        B.stem_s1s2_s2d_a(params["c0"], params["c1"], x2, act=nn.mish), cfg)
+
+
+apply_s2d.factor = 2
+
+
+def _apply_from_c1(params, y, cfg: ScaledYolov4Cfg):
+    nk = params["neck"]
     y = y + _m(params["c3"], _m(params["c2"], y))
     stage_outs = []
     for st in params["stages"]:
@@ -195,5 +211,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=ScaledYolov4Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="Scaled-YOLOv4 CSP (reference: scaled-yolov4/)",
 ))

@@ -132,6 +132,25 @@ def _seg_branch(p, x):
 
 def apply(params, x, cfg: YolopCfg):
     y = _cb_a(params["m0"], _focus(x))
+    return _apply_from_focus(params, y, cfg)
+
+
+def apply_s2d(params, x2, cfg: YolopCfg):
+    """Fused-serving fast path: the Focus layer IS a 2×2 space-to-depth,
+    so the letterbox_s2d tensor feeds m0 directly after reordering the
+    channel blocks from s2d (a,b) order to torch's slice order
+    [::2,::2],[1::2,::2],[::2,1::2],[1::2,1::2]."""
+    b, h, w, c4 = x2.shape
+    c = c4 // 4
+    y = x2.reshape(b, h, w, 4, c)[:, :, :, (0, 2, 1, 3), :]
+    y = _cb_a(params["m0"], y.reshape(b, h, w, c4))
+    return _apply_from_focus(params, y, cfg)
+
+
+apply_s2d.factor = 2
+
+
+def _apply_from_focus(params, y, cfg: YolopCfg):
     y = _cb_a(params["m1"], y, stride=2)
     y = _csp_a(params["m2"], y, True)
     y = _cb_a(params["m3"], y, stride=2)
@@ -159,7 +178,7 @@ def apply(params, x, cfg: YolopCfg):
 
     # detection (v5 anchor decode)
     nc = cfg.num_classes
-    b = x.shape[0]
+    b = p3.shape[0]
     strides = (8, 16, 32)
     boxes_all, conf_all, cls_all = [], [], []
     for i, f in enumerate([p3, p4, p5]):
@@ -206,5 +225,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=YolopCfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOP det + drivable-area + lane segmentation (reference: yolop/)",
 ))

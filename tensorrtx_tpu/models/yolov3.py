@@ -131,9 +131,28 @@ def _decode_level(raw, anchors, stride, nc, ignore_thresh):
 
 def apply(params, x, cfg: Yolov3Cfg):
     y = _cbl_a(params["c0"], x)
+    y = _cbl_a(params["stages"][0]["down"], y, stride=2)
+    return _apply_from_down0(params, y, cfg)
+
+
+def apply_s2d(params, x2, cfg: Yolov3Cfg):
+    """Fused-serving fast path from the 2×2 space-to-depth letterbox
+    tensor (leaky stem; see models/_yolo_blocks.stem_s1s2_s2d_a)."""
+    import tensorrtx_tpu.models._yolo_blocks as B
+    lk = lambda v: nn.leaky_relu(v, 0.1)
+    y = B.stem_s1s2_s2d_a(params["c0"], params["stages"][0]["down"], x2,
+                          act=lk)
+    return _apply_from_down0(params, y, cfg)
+
+
+apply_s2d.factor = 2
+
+
+def _apply_from_down0(params, y, cfg: Yolov3Cfg):
     feats = []
-    for st in params["stages"]:
-        y = _cbl_a(st["down"], y, stride=2)
+    for si, st in enumerate(params["stages"]):
+        if si > 0:
+            y = _cbl_a(st["down"], y, stride=2)
         for c1, c2 in st["res"]:
             y = y + _cbl_a(c2, _cbl_a(c1, y))
         feats.append(y)
@@ -183,6 +202,7 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov3Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv3 / -spp anchor detector (reference: yolov3/, yolov3-spp/)",
 ))
 

@@ -104,7 +104,10 @@ def _leaky_a(pp, x, stride=1):
 
 
 def _csp_a(st, x):
-    d = _mish_a(st["down"], x, stride=2)
+    return _csp_tail_a(st, _mish_a(st["down"], x, stride=2))
+
+
+def _csp_tail_a(st, d):
     a = _mish_a(st["a"], d)
     b = _mish_a(st["b"], d)
     y = b
@@ -133,10 +136,28 @@ def _decode_level(raw, anchors, stride, nc, ignore_thresh):
 
 
 def apply(params, x, cfg: Yolov4Cfg):
-    lk = params["leaky"]
     y = _mish_a(params["c0"], x)
-    outs = []
-    for st in params["stages"]:
+    d0 = _mish_a(params["stages"][0]["down"], y, stride=2)
+    return _apply_from_down0(params, d0, cfg)
+
+
+def apply_s2d(params, x2, cfg: Yolov4Cfg):
+    """Fused-serving fast path from the 2×2 space-to-depth letterbox
+    tensor (mish stem; see models/_yolo_blocks.stem_s1s2_s2d_a)."""
+    import tensorrtx_tpu.models._yolo_blocks as B
+    d0 = B.stem_s1s2_s2d_a(params["c0"], params["stages"][0]["down"], x2,
+                           act=nn.mish)
+    return _apply_from_down0(params, d0, cfg)
+
+
+apply_s2d.factor = 2
+
+
+def _apply_from_down0(params, d0, cfg: Yolov4Cfg):
+    lk = params["leaky"]
+    y = _csp_tail_a(params["stages"][0], d0)
+    outs = [y]
+    for st in params["stages"][1:]:
         y = _csp_a(st, y)
         outs.append(y)
     l54, l85, l104 = outs[2], outs[3], outs[4]
@@ -191,5 +212,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov4Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv4 CSPDarknet-53 + PANet (reference: yolov4/)",
 ))

@@ -116,6 +116,21 @@ def _dw_a(p, x, s=1):
 def apply(params, x, cfg: Yolov5LiteCfg):
     y = jax.nn.relu(nn.conv2d(x, params["stem"]["w"], params["stem"]["b"],
                               stride=2, padding=1))
+    return _apply_from_stem(params, y, cfg)
+
+
+def apply_s2d(params, x2, cfg: Yolov5LiteCfg):
+    """Fused-serving fast path: the 3×3 s2 stem conv runs as a block conv
+    on the 2×2 space-to-depth letterbox tensor (ops/nn.conv2d_s2d)."""
+    y = jax.nn.relu(nn.conv2d_s2d(
+        x2, nn.s2d_conv_weights(params["stem"]["w"]), params["stem"]["b"]))
+    return _apply_from_stem(params, y, cfg)
+
+
+apply_s2d.factor = 2
+
+
+def _apply_from_stem(params, y, cfg: Yolov5LiteCfg):
     y = nn.max_pool(y, 3, 2, 1)
     y = _sb_a(params["m1"], y, 2)
     for bp in params["m2"]:
@@ -139,7 +154,7 @@ def apply(params, x, cfg: Yolov5LiteCfg):
     p20 = _dw_a(params["m20"], y)
 
     nc = cfg.num_classes
-    b = x.shape[0]
+    b = p20.shape[0]
     strides = (8, 16, 32)
     boxes_all, conf_all, cls_all = [], [], []
     for i, f in enumerate([p14, p17, p20]):
@@ -176,5 +191,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov5LiteCfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv5-Lite-s shuffle backbone detector (reference: yolov5-lite/)",
 ))

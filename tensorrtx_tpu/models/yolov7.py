@@ -159,6 +159,21 @@ def _rep_a(rp, x):
 def apply(params, x, cfg: Yolov7Cfg):
     y = B.conv_a(params["c0"], x)
     y = B.conv_a(params["c1"], y, stride=2)
+    return _apply_from_c1(params, y, cfg)
+
+
+def apply_s2d(params, x2, cfg: Yolov7Cfg):
+    """Fused-serving fast path from the 2×2 space-to-depth letterbox
+    tensor: the full-res 3×3 s1 + 3×3 s2 stem runs as block convs in
+    parity space (models/_yolo_blocks.stem_s1s2_s2d_a)."""
+    return _apply_from_c1(
+        params, B.stem_s1s2_s2d_a(params["c0"], params["c1"], x2), cfg)
+
+
+apply_s2d.factor = 2
+
+
+def _apply_from_c1(params, y, cfg: Yolov7Cfg):
     y = B.conv_a(params["c2"], y)
     y = B.conv_a(params["c3"], y, stride=2)
     y = B.conv_a(params["f11"], _elan_a(params["e4"], y, False))
@@ -188,7 +203,7 @@ def apply(params, x, cfg: Yolov7Cfg):
     p5 = _rep_a(params["rep104"], c101)
 
     nc = cfg.num_classes
-    b = x.shape[0]
+    b = p3.shape[0]
     strides = (8, 16, 32)
     boxes_all, conf_all, cls_all = [], [], []
     for i, f in enumerate([p3, p4, p5]):
@@ -225,5 +240,6 @@ register(ModelDef(
     apply=apply,
     default_cfg=Yolov7Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    apply_s2d=apply_s2d,
     doc="YOLOv7 base, ELAN + SPPCSPC + RepConv (reference: yolov7/)",
 ))

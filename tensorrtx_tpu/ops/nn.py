@@ -24,6 +24,7 @@ __all__ = [
     "silu", "mish", "hardswish", "hardsigmoid", "prelu", "gelu_tanh",
     "gelu_erf", "leaky_relu", "softmax", "dfl", "pixel_shuffle",
     "s2d_conv_weights", "conv2d_s2d", "s2d4_conv_weights", "conv2d_s2d4",
+    "s2d_s1_conv_weights", "conv2d_s2d_s1",
 ]
 
 
@@ -172,6 +173,9 @@ def conv2d_s2d(x2: Array, w2, b: Optional[Array] = None) -> Array:
         w2, (pb, pa) = w2
     else:
         pb, pa = 1, 0
+    q = _maybe_quant_conv_s2d(x2, w2, b, (pb, pa), phases=1)
+    if q is not None:
+        return q
     x2p = jnp.pad(x2, ((0, 0), (pb, pa), (pb, pa), (0, 0)))
     out = lax.conv_general_dilated(
         x2p, w2.astype(x2.dtype), (1, 1), [(0, 0), (0, 0)],
@@ -180,6 +184,55 @@ def conv2d_s2d(x2: Array, w2, b: Optional[Array] = None) -> Array:
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+def _maybe_quant_conv_s2d(x, w, b, pads, phases: int):
+    """Quantization-context handling for the s2d conv rewrites (None when no
+    context is active or in tap mode, where the caller continues in float).
+
+    An s2d tensor is a pixel permutation of the full-res input, so the
+    standard path's per-layer activation scales apply unchanged, and taps
+    record identical statistics. Per-output-channel weight scales tile
+    across the `phases` output parity blocks (conv2d_s2d4 emits
+    (a', b', o)-phased channels). The rearranged float weights are
+    re-quantized in-trace — elementwise round/clip commutes with the
+    rearrangement (zero slots stay zero), and stem weights are tiny.
+    """
+    from tensorrtx_tpu.ops import quant_ctx
+
+    st = quant_ctx.STATE
+    if st is None:
+        return None
+    if st.mode.startswith("tap"):
+        xa = jnp.abs(x.astype(jnp.float32))
+        if st.mode == "tap_absmax":
+            st.taps.append(jnp.max(xa))
+        else:
+            i = st.next_idx()
+            hi = float(st.hist_ranges[i])
+            hist, _ = jnp.histogram(xa, bins=st.hist_bins,
+                                    range=(0.0, max(hi, 1e-8)))
+            st.taps.append(hist)
+        return None
+    i = st.next_idx()
+    sx = float(st.act_scales[i])
+    sw = jnp.asarray(st.w_scales[i], jnp.float32)
+    if phases > 1:
+        sw = jnp.tile(sw, phases)
+    pb, pa = pads
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
+    xq = jnp.pad(xq.astype(jnp.int8), ((0, 0), (pb, pa), (pb, pa), (0, 0)))
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / sw[None, None, None, :]),
+                  -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq, wq, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sx * sw)[None, None, None, :]
+    if b is not None:
+        bb = b if phases == 1 else jnp.tile(b, phases)
+        out = out + bb.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def s2d4_conv_weights(w: Array, padding: Optional[int] = None):
@@ -228,11 +281,72 @@ def conv2d_s2d4(x4: Array, w4, b: Optional[Array] = None) -> Array:
         w4, (pb, pa) = w4
     else:
         pb, pa = 1, 0
+    q = _maybe_quant_conv_s2d(x4, w4, b, (pb, pa), phases=4)
+    if q is not None:
+        return q
     x4p = jnp.pad(x4, ((0, 0), (pb, pa), (pb, pa), (0, 0)))
     out = lax.conv_general_dilated(
         x4p, w4.astype(x4.dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_mxu_precision(x4.dtype))
+    if b is not None:
+        out = out + jnp.tile(b, 4).astype(out.dtype)
+    return out
+
+
+def s2d_s1_conv_weights(w: Array, padding: Optional[int] = None):
+    """Rearrange a k×k stride-1 HWIO kernel to run on a 2×2 space-to-depth
+    input and emit a 2×2 space-to-depth output (for `conv2d_s2d_s1`).
+
+    For full-resolution stride-1 stems (yolov7/scaled-yolov4/yolov3 open
+    with a 3×3 s1 conv on the raw image) the batch-1 relayout pathology is
+    worst — tiny channel counts at full spatial dims. Output full-res row
+    2y+a reads input rows 2y+a+ky−p = 2(y+t)+α, so ky = 2t+α−a+p. For
+    3×3 p1 that is a 3×3 block kernel. Input phases (α, β, c) match
+    `letterbox_s2d` factor=2; output phases (a, b, o) are the layout
+    `conv2d_s2d` consumes, so a following stride-2 conv chains directly.
+    Returns (w1, (pad_before, pad_after)).
+    """
+    k = w.shape[0]
+    assert w.shape[1] == k, "square kernels only"
+    p = k // 2 if padding is None else padding
+    # stride-1 output must land on the input's block grid ("same" conv);
+    # shrinking convs would shift the output parity phases
+    assert 2 * p == k - 1, "s2d s1 rewrite requires same-padding (odd k)"
+    ci, co = w.shape[2], w.shape[3]
+    t_min, T, pb, pa = _s2d_block_range(k, p, 0, 1, 2)
+    w1 = jnp.zeros((T, T, 2, 2, ci, 2, 2, co), w.dtype)
+    for ty in range(T):
+        for a in range(2):
+            for al in range(2):
+                ky = 2 * (ty + t_min) + al - a + p
+                if not 0 <= ky < k:
+                    continue
+                for tx in range(T):
+                    for bz in range(2):
+                        for be in range(2):
+                            kx = 2 * (tx + t_min) + be - bz + p
+                            if 0 <= kx < k:
+                                w1 = w1.at[ty, tx, al, be, :, a, bz, :].set(
+                                    w[ky, kx])
+    return w1.reshape(T, T, 4 * ci, 4 * co), (pb, pa)
+
+
+def conv2d_s2d_s1(x2: Array, w1, b: Optional[Array] = None) -> Array:
+    """Stride-1 conv on a 2×2 space-to-depth input, output in 2×2-s2d form
+    (B, H/2, W/2, 4·Co) — numerically identical to conv2d(x, w, stride=1,
+    padding=p) on the full-res x followed by a 2×2 space-to-depth. Chain a
+    stride-2 conv with `conv2d_s2d` directly on the result. w1: the
+    (weights, pads) tuple from `s2d_s1_conv_weights`."""
+    w1, (pb, pa) = w1
+    q = _maybe_quant_conv_s2d(x2, w1, b, (pb, pa), phases=4)
+    if q is not None:
+        return q
+    x2p = jnp.pad(x2, ((0, 0), (pb, pa), (pb, pa), (0, 0)))
+    out = lax.conv_general_dilated(
+        x2p, w1.astype(x2.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_mxu_precision(x2.dtype))
     if b is not None:
         out = out + jnp.tile(b, 4).astype(out.dtype)
     return out

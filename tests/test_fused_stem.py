@@ -186,7 +186,9 @@ def test_yolov8_apply_s2d_matches_apply():
                                rtol=1e-3, atol=5e-2)
 
 
-@pytest.mark.parametrize("name", ["yolov9", "yolov10", "yolov12", "yolo26"])
+@pytest.mark.parametrize("name", ["yolov9", "yolov10", "yolov12", "yolo26",
+                                  "yolov7", "yolov4", "scaled-yolov4",
+                                  "yolov3", "yolov5-lite"])
 def test_detector_apply_s2d_matches_apply(name):
     from tensorrtx_tpu.core.random_weights import RandomWeightMap
     from tensorrtx_tpu.core.registry import get_model
@@ -237,3 +239,59 @@ def test_yolov5_apply_s2d_matches_apply():
     np.testing.assert_allclose(np.asarray(got["boxes"][0][:n]),
                                np.asarray(ref["boxes"][0][:n]),
                                rtol=1e-3, atol=5e-2)
+
+
+@pytest.mark.parametrize("k,p", [(3, 1), (5, 2)])
+def test_conv2d_s2d_s1_matches_plain_conv(k, p):
+    """Stride-1 s2d rewrite: s2d(conv(x)) == conv2d_s2d_s1(s2d(x))."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (k, k, 3, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.2, (8,)).astype(np.float32))
+    ref = np.asarray(nn.conv2d(x, w, b, stride=1, padding=p))
+    x2 = jnp.asarray(np.stack([_s2d(np.asarray(xi)) for xi in x]))
+    got = np.asarray(nn.conv2d_s2d_s1(x2, nn.s2d_s1_conv_weights(w, p), b))
+    ref_s2d = np.stack([_s2d(r) for r in ref])
+    assert got.shape == ref_s2d.shape
+    np.testing.assert_allclose(got, ref_s2d, atol=1e-4)
+
+
+def test_conv2d_s2d_s1_chains_into_conv2d_s2d():
+    """Full-res s1 stem then s2 conv, all in s2d space (yolov7 pattern)."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    w0 = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 8)).astype(np.float32))
+    b0 = jnp.asarray(rng.normal(0, 0.2, (8,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(0, 0.2, (3, 3, 8, 16)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.2, (16,)).astype(np.float32))
+    ref = nn.conv2d(nn.silu(nn.conv2d(x, w0, b0, stride=1, padding=1)),
+                    w1, b1, stride=2, padding=1)
+    x2 = jnp.asarray(np.stack([_s2d(np.asarray(xi)) for xi in x]))
+    y0 = nn.silu(nn.conv2d_s2d_s1(x2, nn.s2d_s1_conv_weights(w0), b0))
+    got = nn.conv2d_s2d(y0, nn.s2d_conv_weights(w1), b1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_yolop_apply_s2d_matches_apply():
+    """YOLOP's Focus layer IS a 2×2 s2d: the fast path must reproduce the
+    det output and both segmentation maps exactly."""
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+
+    model = get_model("yolop")
+    cfg = dataclasses.replace(model.default_cfg(), input_h=64, input_w=64,
+                              max_det=16)
+    params = model.build_params(RandomWeightMap(seed=4), cfg)
+    rng = np.random.default_rng(13)
+    fr = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3), np.uint8))
+    hw = jnp.asarray([[64, 48]], jnp.int32)
+
+    x = letterbox_batch(fr, hw, 64, 64)
+    ref = model.apply(params, x.astype(jnp.float32), cfg)
+    x2 = letterbox_s2d_batch(fr, hw, 64, 64, out_dtype=jnp.float32,
+                             factor=model.apply_s2d.factor)
+    got = model.apply_s2d(params, x2, cfg)
+    assert set(ref.keys()) == set(got.keys())
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-3, atol=5e-2, err_msg=k)

@@ -89,3 +89,43 @@ def test_int8_engine_save_load_roundtrip(tmp_path, r18, rng):
     assert out_loaded[0].argmax() == out_fp[0].argmax()
     rel = np.abs(out_loaded - out_fp).max() / (np.abs(out_fp).max() + 1e-9)
     assert rel < 0.15
+
+
+def test_int8_serving_s2d_matches_standard(rng):
+    """Int8 engines now ride the s2d serving fast path (raw_apply_s2d):
+    the rearranged stem convs must reproduce the standard int8 path
+    exactly — the s2d tensor is a pixel permutation, so quantization
+    scales transfer and the integer arithmetic is identical."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrtx_tpu.core.engine import Engine
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+    from tensorrtx_tpu.core.runner import ServingPipeline
+    from tensorrtx_tpu.ops.preprocess import letterbox_batch
+
+    model = get_model("yolo11")
+    cfg = dataclasses.replace(model.default_cfg(), scale="n", input_h=64,
+                              input_w=64, max_det=16)
+    params = model.build_params(RandomWeightMap(seed=5), cfg)
+    eng = Engine("yolo11", params, cfg, "fp32")
+    calib = [rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32) / 255.0]
+    scales = calibrate(eng, calib, method="absmax")
+    q = QuantizedEngine(eng, scales)
+
+    frames = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8))
+    hw = jnp.asarray([[64, 40]], np.int32)
+
+    pipe = ServingPipeline(q, src_h=64, src_w=64, donate=False)
+    got = jax.tree.map(np.asarray, pipe._jitted(pipe._params, frames, hw))
+
+    x = letterbox_batch(frames, hw, 64, 64).astype(jnp.float32)
+    ref = jax.tree.map(np.asarray, q.raw_apply(q.params, x))
+
+    assert int(got["count"][0]) == int(ref["count"][0])
+    n = int(ref["count"][0])
+    np.testing.assert_allclose(got["boxes"][0][:n], ref["boxes"][0][:n],
+                               rtol=1e-4, atol=1e-3)
