@@ -186,6 +186,21 @@ def _flatten_levels(levels: List[jax.Array]) -> jax.Array:
     return jnp.concatenate([lv.reshape(b, -1, lv.shape[-1]) for lv in levels], axis=1)
 
 
+def _decode_levels(box_lv, cls_lv, reg_max):
+    """Per-level DFL + best-class decode, concatenated level-major.
+
+    Identical values/order to flatten-then-decode, but the level concat
+    carries 4/1 channels instead of 64/nc — the wide flattens were pure
+    relayout time at batch 1. Shared by the anchor-free family."""
+    b = box_lv[0].shape[0]
+    ltrb = jnp.concatenate(
+        [nn.dfl(lv, reg_max).reshape(b, -1, 4) for lv in box_lv], 1)
+    cc = [D.best_class(lv) for lv in cls_lv]
+    conf = jnp.concatenate([c.reshape(b, -1) for c, _ in cc], 1)
+    cls_id = jnp.concatenate([c.reshape(b, -1) for _, c in cc], 1)
+    return ltrb, conf, cls_id
+
+
 # ---------------------------------------------------------------------------
 # full models
 # ---------------------------------------------------------------------------
@@ -295,13 +310,10 @@ def _apply_from_feats3(params, feats3, cfg: Yolo11Cfg):
     p3, p4, p5 = _neck_a(params["neck"], *feats3)
     feats = [p3, p4, p5]
     box_lv, cls_lv = _det_head_a(params["head"], feats, cfg.reg_max)
-    box_dist = _flatten_levels(box_lv)            # (B, N, 64)
-    cls_logits = _flatten_levels(cls_lv)          # (B, N, nc)
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
 
     strides = (8, 16, 32)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w, strides)
-    ltrb = nn.dfl(box_dist, cfg.reg_max)          # (B, N, 4) float32
-    conf, cls_id = D.best_class(cls_logits)
 
     extras = None
     if cfg.task == "obb":

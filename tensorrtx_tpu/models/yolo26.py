@@ -216,10 +216,14 @@ def _apply_from_x1(params, x1, cfg: Yolo26Cfg):
         cls_lv.append(nn.conv2d(z, r["c"]["w"], r["c"]["b"]))
 
     ltrb = _flatten_levels(box_lv).astype(jnp.float32)      # raw, no DFL
-    cls_logits = _flatten_levels(cls_lv).astype(jnp.float32)
+    # best_class per level before the flatten (nc-wide flattens are pure
+    # relayout time at batch 1; values/order identical)
+    b0 = cls_lv[0].shape[0]
+    cc = [D.best_class(lv.astype(jnp.float32)) for lv in cls_lv]
+    conf = jnp.concatenate([c.reshape(b0, -1) for c, _ in cc], 1)
+    cls_id = jnp.concatenate([c.reshape(b0, -1) for _, c in cc], 1)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    conf, cls_id = D.best_class(cls_logits)
 
     extras = None
     if cfg.task == "obb":

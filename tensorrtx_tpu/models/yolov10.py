@@ -268,14 +268,10 @@ def _apply_from_x1(params, x1, cfg: Yolov10Cfg):
         cls_lv.append(nn.conv2d(z, r["c"]["w"], r["c"]["b"]))
 
     b = x1.shape[0]
-    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
-                                for v in box_lv], 1)
-    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
-                                  for v in cls_lv], 1)
+    from tensorrtx_tpu.models.yolo11 import _decode_levels
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}

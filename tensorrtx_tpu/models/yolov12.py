@@ -22,7 +22,8 @@ import numpy as np
 
 from tensorrtx_tpu.core.registry import ModelDef, register
 from tensorrtx_tpu.models import _yolo_blocks as B
-from tensorrtx_tpu.models.yolo11 import SCALES, _det_head_a, _det_head_p, _flatten_levels
+from tensorrtx_tpu.models.yolo11 import (SCALES, _decode_levels, _det_head_a,
+                                         _det_head_p, _flatten_levels)
 from tensorrtx_tpu.ops import detect as D
 from tensorrtx_tpu.ops import nn
 from tensorrtx_tpu.ops.nms import select_and_nms
@@ -250,12 +251,9 @@ def _apply_from_x1(params, x1, cfg: Yolov12Cfg):
 
     feats = [p3, p4, p5]
     box_lv, cls_lv = _det_head_a(params["head"], feats, cfg.reg_max)
-    box_dist = _flatten_levels(box_lv)
-    cls_logits = _flatten_levels(cls_lv)
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     extras = None
     if cfg.task == "seg":

@@ -407,12 +407,10 @@ def apply(params, x, cfg: Yolov13Cfg):
     p5 = _fpt_a(params["m31"], c30, d11)
 
     box_lv, cls_lv = _det_head_a(params["head"], [p3, p4, p5], cfg.reg_max)
-    box_dist = _flatten_levels(box_lv)
-    cls_logits = _flatten_levels(cls_lv)
+    from tensorrtx_tpu.models.yolo11 import _decode_levels
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}

@@ -298,14 +298,10 @@ def _decode_and_nms(params, feats, x, cfg, strides):
               for i, f in enumerate(feats)]
     cls_lv = [_branch3(params["head"]["cv3"][i], f)
               for i, f in enumerate(feats)]
-    box_dist = jnp.concatenate(
-        [v.reshape(b, -1, v.shape[-1]) for v in box_lv], 1)
-    cls_logits = jnp.concatenate(
-        [v.reshape(b, -1, v.shape[-1]) for v in cls_lv], 1)
+    from tensorrtx_tpu.models.yolo11 import _decode_levels
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               strides)
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    conf, cls_id = D.best_class(cls_logits)
 
     extras = None
     if cfg.task == "obb":

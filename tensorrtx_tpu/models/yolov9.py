@@ -282,14 +282,10 @@ def _branch3(p, f, groups=1):
 
 def _decode_tail(params, box_lv, cls_lv, x, cfg):
     b = x.shape[0]
-    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
-                                for v in box_lv], 1)
-    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
-                                  for v in cls_lv], 1)
+    from tensorrtx_tpu.models.yolo11 import _decode_levels
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}
@@ -388,14 +384,10 @@ def _apply_from_x1(params, x1, x1b, cfg: Yolov9Cfg):
     cls_lv = [_branch3(params["head"]["cv3"][i], f)
               for i, f in enumerate(feats)]
     b = x1.shape[0]
-    box_dist = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
-                                for v in box_lv], 1)
-    cls_logits = jnp.concatenate([v.reshape(b, -1, v.shape[-1])
-                                  for v in cls_lv], 1)
+    from tensorrtx_tpu.models.yolo11 import _decode_levels
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
     points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
                                               (8, 16, 32))
-    ltrb = nn.dfl(box_dist, cfg.reg_max)
-    conf, cls_id = D.best_class(cls_logits)
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     if cfg.postprocess == "raw":
         return {"boxes": boxes, "conf": conf, "cls": cls_id}
