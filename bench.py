@@ -122,6 +122,9 @@ def main():
         print(f"# secondary bench skipped: {e}", file=sys.stderr)
 
     ips1 = results[1]["ips"]
+    # MFU: YOLO11n-640 forward ≈ 6.5 GFLOP/img (ultralytics reports
+    # 6.5 GFLOPs); v5e bf16 peak 197 TFLOP/s
+    mfu1 = ips1 * 6.5e9 / 197e12
     print(json.dumps({
         "metric": "yolo11n 640x640 e2e (preprocess+infer+decode+NMS) images/sec/chip, batch1 steady-state",
         "value": round(ips1, 1),
@@ -132,6 +135,9 @@ def main():
             "batch1_call_p50_ms_via_relay": round(results[1]["call_p50_ms"], 1),
             "batch32_ips": round(results[32]["ips"], 1),
             "batch32_iter_ms": round(results[32]["iter_ms"], 3),
+            "batch1_mfu_pct": round(mfu1 * 100, 2),
+            "batch32_mfu_pct": round(
+                results[32]["ips"] * 6.5e9 / 197e12 * 100, 2),
             "baseline": "TRT-A100 yolo11n e2e est. 1050 img/s (no in-repo number; BASELINE.md)",
             "secondary_vs_published": secondary,
         },

@@ -19,7 +19,20 @@ try:
 except ImportError:  # pragma: no cover
     ndimage = None
 
-__all__ = ["convex_hull", "min_area_rect", "db_boxes_from_prob"]
+__all__ = ["convex_hull", "min_area_rect", "db_boxes_from_prob",
+           "order_points_clockwise"]
+
+
+def order_points_clockwise(box: np.ndarray) -> np.ndarray:
+    """Canonical [tl, tr, br, bl] corner order (the reference's
+    OrderPointsClockwise, ppocrv5/src/postprocess.cpp) — rotate_crop and
+    every downstream consumer assume corner 0 is the text's top-left, and
+    the min-area-rect corner cycle is otherwise tie-dependent."""
+    idx = np.argsort(box[:, 0], kind="stable")
+    left, right = box[idx[:2]], box[idx[2:]]
+    tl, bl = left[np.argsort(left[:, 1], kind="stable")]
+    tr, br = right[np.argsort(right[:, 1], kind="stable")]
+    return np.stack([tl, tr, br, bl]).astype(np.float32)
 
 
 def convex_hull(pts: np.ndarray) -> np.ndarray:
@@ -83,12 +96,26 @@ def _rect_points(center, size, theta):
 
 def db_boxes_from_prob(prob: np.ndarray, bin_thresh: float = 0.3,
                        box_thresh: float = 0.7, unclip_ratio: float = 1.5,
-                       max_candidates: int = 1000, min_size: int = 3):
+                       max_candidates: int = 1000, min_size: int = 3,
+                       native: bool = True):
     """prob (H, W) float → list of (box (4,2) float32, score).
 
     Box = unclipped min-area rect of each connected component of the
     binarized map, scored by the mean probability inside the component.
+    Runs the C++ implementation (native/db_postprocess.cc — the runtime
+    analog of the reference's OpenCV+Clipper postprocess) when the
+    toolchain is available; this numpy path is the portable fallback and
+    the parity oracle (tests/test_native_db.py).
     """
+    if native:
+        try:
+            from tensorrtx_tpu.native import db_native
+            return [(order_points_clockwise(b), s)
+                    for b, s in db_native.db_boxes_from_prob(
+                        prob, bin_thresh, box_thresh, unclip_ratio,
+                        max_candidates, min_size)]
+        except ImportError:
+            pass
     if ndimage is None:
         raise RuntimeError("scipy required for DB postprocess")
     binmap = prob > bin_thresh
@@ -118,5 +145,5 @@ def db_boxes_from_prob(prob: np.ndarray, bin_thresh: float = 0.3,
         h_img, w_img = prob.shape
         box[:, 0] = np.clip(box[:, 0], 0, w_img)
         box[:, 1] = np.clip(box[:, 1], 0, h_img)
-        boxes.append((box, score))
+        boxes.append((order_points_clockwise(box), score))
     return boxes
