@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_engine", "sharded_serving_step"]
+__all__ = ["make_mesh", "shard_engine", "sharded_serving_step",
+           "spatial_sharded_apply"]
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
@@ -110,4 +111,33 @@ def sharded_serving_step(engine, mesh: Mesh, src_h: int, src_w: int,
     jitted = jax.jit(step, in_shardings=(
         jax.tree.map(lambda l: l.sharding, params),
         frames_sharding, hw_sharding))
+    return jitted, params
+
+
+def spatial_sharded_apply(engine, mesh: Mesh, axis: str = "sp"):
+    """Spatial (sequence-parallel) inference: ONE oversized image sharded
+    across chips along H.
+
+    The CUDA reference has no analog — one image is one GPU. On TPU the
+    input rows are sharded over the `axis` mesh axis and GSPMD inserts the
+    conv halo exchanges (ICI neighbor traffic) automatically; weights stay
+    replicated. Right for dense-prediction models whose single-image
+    footprint or latency exceeds one chip (unet/dbnet/psenet at large
+    resolutions, real-esrgan).
+
+    Returns (step_fn, sharded_params); step_fn(params, x_nhwc) runs
+    engine.model.apply with x row-sharded.
+    """
+    cfg = engine.cfg
+    model = engine.model
+    params = jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
+        engine.params)
+    x_sharding = NamedSharding(mesh, P(None, axis, None, None))
+
+    def step(p, x):
+        return model.apply(p, x, cfg)
+
+    jitted = jax.jit(step, in_shardings=(
+        jax.tree.map(lambda l: l.sharding, params), x_sharding))
     return jitted, params

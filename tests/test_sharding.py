@@ -52,3 +52,56 @@ def test_sharded_serving_step(dp, tp):
     np.testing.assert_allclose(np.asarray(out["boxes"][0][:n]),
                                np.asarray(ref["boxes"][0][:n]),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_spatial_sharded_apply_matches_single_device():
+    """sp: one image row-sharded across 8 chips; GSPMD halo exchange must
+    reproduce the single-device result exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from jax.sharding import Mesh
+
+    from tensorrtx_tpu.core.engine import Engine
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+    from tensorrtx_tpu.parallel import spatial_sharded_apply
+
+    model = get_model("unet")
+    cfg = dataclasses.replace(model.default_cfg(), input_h=64, input_w=96)
+    params = model.build_params(RandomWeightMap(seed=1), cfg)
+    eng = Engine("unet", params, cfg, "fp32")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    step, sp_params = spatial_sharded_apply(eng, mesh)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (1, 64, 96, 3)).astype(np.float32)
+    got = np.asarray(step(sp_params, x))
+    ref = np.asarray(eng(x))
+    # sharded convs accumulate across halo boundaries in a different
+    # order; f32 agreement to ~1e-4 relative
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=2e-3)
+
+
+def test_engine_pipeline_matches_serial():
+    """pp: stages on disjoint device groups, overlapped by async dispatch;
+    results must equal running the stages serially on one device."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    import jax.numpy as jnp
+
+    from tensorrtx_tpu.parallel import EnginePipeline, split_devices
+
+    w1 = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, (16, 32)),
+                     jnp.float32)
+    w2 = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (32, 8)),
+                     jnp.float32)
+    s1 = jax.jit(lambda x: jnp.tanh(x @ w1))
+    s2 = jax.jit(lambda x: jax.nn.softmax(x @ w2, axis=-1))
+    groups = split_devices(2)
+    pipe = EnginePipeline([(s1, groups[0]), (s2, groups[1])])
+    batches = [np.random.default_rng(i).normal(0, 1, (4, 16))
+               .astype(np.float32) for i in range(5)]
+    outs = pipe.run(batches, to_host=np.asarray)
+    for x, o in zip(batches, outs):
+        ref = np.asarray(s2(s1(jnp.asarray(x))))
+        np.testing.assert_allclose(o, ref, atol=1e-6)
