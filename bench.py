@@ -24,11 +24,19 @@ TRT_A100_YOLO11N_E2E_IPS = 1050.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_yolo11
+    from tensorrtx_tpu.core.engine import enable_persistent_cache
     from tensorrtx_tpu.core.runner import ServingPipeline, bench_loop, bench_marginal
+
+    # first compile of the stream program can take minutes through a remote
+    # -compile relay; the persistent cache makes reruns start in seconds
+    enable_persistent_cache(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".bench_xla_cache"))
 
     eng = _build_yolo11(scale="n", h=640, w=640, precision="bf16", max_det=300)
     results = {}
