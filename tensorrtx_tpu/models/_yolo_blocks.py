@@ -258,6 +258,42 @@ def c2psa_a(p, x):
     return conv_a(p["cv2"], jnp.concatenate([a, bpart], axis=-1))
 
 
+def conv_s2d_s1_a(p, x2):
+    """silu(stride-1 conv) evaluated in 2×2-s2d phase space (k=1 gives a
+    block-diagonal kernel, k=3 a 3×3 block kernel; ops/nn.conv2d_s2d_s1)."""
+    return nn.silu(nn.conv2d_s2d_s1(
+        x2, nn.s2d_s1_conv_weights(p["w"]), p["b"]))
+
+
+def c3k2_s2d_a(p, x2, shortcut=True):
+    """c3k2_a evaluated on a 2×2-s2d tensor (phase blocks (a, b, c)) —
+    the serving fast path keeps the largest feature grids in phase space,
+    where the tiny-channel convs become wide-K block convs (the 16/8-ch
+    convs at the P2 grid ran at ~3 TF/s in planar form). Channel split/
+    concat happen inside each phase block. Plain-bottleneck variants only
+    (C3k sub-blocks take the planar path); numerically identical to
+    s2d(c3k2_a(...)); quant-context order matches c3k2_a."""
+    y = conv_s2d_s1_a(p["cv1"], x2)
+    b_, h2, w2, c4 = y.shape
+    c_ = c4 // 8
+    yr = y.reshape(b_, h2, w2, 4, 2 * c_)
+    parts = [yr[..., :c_], yr[..., c_:]]
+    cur = parts[1]
+    for bp in p["m"]:
+        z = conv_s2d_s1_a(bp["cv1"], cur.reshape(b_, h2, w2, -1))
+        z = conv_s2d_s1_a(bp["cv2"], z)
+        z = z.reshape(b_, h2, w2, 4, c_)
+        cur = cur + z if (shortcut and cur.shape[-1] == z.shape[-1]) else z
+        parts.append(cur)
+    cat = jnp.concatenate(parts, axis=-1).reshape(b_, h2, w2, -1)
+    return conv_s2d_s1_a(p["cv2"], cat)
+
+
+def c3k2_is_plain(p) -> bool:
+    """True when every sub-block is a plain bottleneck (no C3k)."""
+    return all("cv3" not in b for b in p["m"])
+
+
 def stem_s1s2_s2d_a(p0, p1, x2, act=nn.silu):
     """Full-res stride-1 conv + stride-2 conv evaluated on a 2×2
     space-to-depth input (ops.preprocess.letterbox_s2d factor=2) — the

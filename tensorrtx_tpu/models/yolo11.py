@@ -97,8 +97,16 @@ def _backbone_rest_a(p, x):
 def _backbone_from2_a(p, x):
     x = B.c3k2_a(p["m2"], x)
     x = B.conv_a(p["m3"], x, stride=2)
+    return _backbone_from4_a(p, x)
+
+
+def _backbone_from4_a(p, x):
     c4 = B.c3k2_a(p["m4"], x)
     x = B.conv_a(p["m5"], c4, stride=2)
+    return _backbone_from6_a(p, x, c4)
+
+
+def _backbone_from6_a(p, x, c4):
     c6 = B.c3k2_a(p["m6"], x)
     x = B.conv_a(p["m7"], c6, stride=2)
     x = B.c3k2_a(p["m8"], x)
@@ -298,7 +306,19 @@ def apply_s2d(params, x4, cfg: Yolo11Cfg):
         x4, nn.s2d4_conv_weights(bb["m0"]["w"]), bb["m0"]["b"]))
     x1 = nn.silu(nn.conv2d_s2d(
         y1, nn.s2d_conv_weights(bb["m1"]["w"]), bb["m1"]["b"]))
-    feats3 = _backbone_from2_a(bb, x1)
+    if B.c3k2_is_plain(bb["m2"]):
+        # P2 stage in phase space: its 8/16-channel convs at the largest
+        # grid run at ~3 TF/s planar; as wide-K block convs they use the
+        # MXU (exact — see _yolo_blocks.c3k2_s2d_a)
+        y2 = B.c3k2_s2d_a(bb["m2"], nn.space_to_depth2(x1))
+        x = nn.silu(nn.conv2d_s2d(
+            y2, nn.s2d_conv_weights(bb["m3"]["w"]), bb["m3"]["b"]))
+        # (phase-space m4 measured SLOWER: its 32-ch convs at the 80-grid
+        # don't cover the 4x block-kernel FLOPs; P2 is the only stage
+        # where the rewrite pays)
+        feats3 = _backbone_from4_a(bb, x)
+    else:
+        feats3 = _backbone_from2_a(bb, x1)
     return _apply_from_feats3(params, feats3, cfg)
 
 

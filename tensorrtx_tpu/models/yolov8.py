@@ -367,7 +367,13 @@ def apply_s2d(params, x4, cfg: Yolov8Cfg):
         x4, nn.s2d4_conv_weights(params["m0"]["w"]), params["m0"]["b"]))
     x1 = nn.silu(nn.conv2d_s2d(
         y1, nn.s2d_conv_weights(params["m1"]["w"]), params["m1"]["b"]))
-    return _apply_main_from_x1(params, x1, cfg)
+    # P2-stage c2f in phase space (a c2f is a plain-bottleneck c3k2;
+    # models/_yolo_blocks.c3k2_s2d_a) — its tiny-channel convs at the
+    # largest grid are MXU-starved in planar form
+    y = B.c3k2_s2d_a(params["m2"], nn.space_to_depth2(x1), shortcut=True)
+    y = nn.silu(nn.conv2d_s2d(
+        y, nn.s2d_conv_weights(params["m3"]["w"]), params["m3"]["b"]))
+    return _apply_main_from_m3(params, y, cfg)
 
 
 apply_s2d.factor = 4
@@ -378,6 +384,10 @@ apply_s2d.supports = lambda cfg: (cfg.task != "cls"
 def _apply_main_from_x1(params, x1, cfg: Yolov8Cfg):
     y = B.c2f_a(params["m2"], x1, shortcut=True)
     y = B.conv_a(params["m3"], y, stride=2)
+    return _apply_main_from_m3(params, y, cfg)
+
+
+def _apply_main_from_m3(params, y, cfg: Yolov8Cfg):
     c4 = B.c2f_a(params["m4"], y, shortcut=True)
     y = B.conv_a(params["m5"], c4, stride=2)
     c6 = B.c2f_a(params["m6"], y, shortcut=True)
@@ -394,7 +404,7 @@ def _apply_main_from_x1(params, x1, cfg: Yolov8Cfg):
     p5 = B.c2f_a(params["m21"], jnp.concatenate([y, p5_in], -1), shortcut=False)
     feats = [p3, p4, p5]
 
-    out, _ = _decode_and_nms(params, feats, x1, cfg, (8, 16, 32))
+    out, _ = _decode_and_nms(params, feats, p3, cfg, (8, 16, 32))
     if isinstance(out, dict):  # raw contract
         if cfg.task == "seg":
             out["proto"] = _proto_a(params["proto"], feats[0])

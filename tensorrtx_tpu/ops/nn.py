@@ -24,7 +24,8 @@ __all__ = [
     "silu", "mish", "hardswish", "hardsigmoid", "prelu", "gelu_tanh",
     "gelu_erf", "leaky_relu", "softmax", "dfl", "pixel_shuffle",
     "s2d_conv_weights", "conv2d_s2d", "s2d4_conv_weights", "conv2d_s2d4",
-    "s2d_s1_conv_weights", "conv2d_s2d_s1",
+    "s2d_s1_conv_weights", "conv2d_s2d_s1", "space_to_depth2",
+    "depth_to_space2",
 ]
 
 
@@ -350,6 +351,24 @@ def conv2d_s2d_s1(x2: Array, w1, b: Optional[Array] = None) -> Array:
     if b is not None:
         out = out + jnp.tile(b, 4).astype(out.dtype)
     return out
+
+
+def space_to_depth2(x: Array) -> Array:
+    """(B, H, W, C) → (B, H/2, W/2, 4C), channel blocks ordered (a, b, c)
+    — the layout `conv2d_s2d`/`conv2d_s2d_s1` consume. One relayout; used
+    to re-enter phase space mid-network where it pays (tiny-channel
+    stages at large grids)."""
+    b, h, w, c = x.shape
+    return (x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c))
+
+
+def depth_to_space2(x2: Array) -> Array:
+    """Inverse of `space_to_depth2`: (B, H/2, W/2, 4C) → (B, H, W, C)."""
+    b, h2, w2, c4 = x2.shape
+    c = c4 // 4
+    return (x2.reshape(b, h2, w2, 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c))
 
 
 def conv_transpose2d(

@@ -295,3 +295,13 @@ def test_yolop_apply_s2d_matches_apply():
     for k in ref:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=1e-3, atol=5e-2, err_msg=k)
+
+
+def test_space_to_depth2_roundtrip():
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 12, 5)).astype(np.float32))
+    x2 = nn.space_to_depth2(x)
+    assert x2.shape == (2, 4, 6, 20)
+    np.testing.assert_array_equal(np.asarray(x2[0]), _s2d(np.asarray(x[0])))
+    np.testing.assert_array_equal(np.asarray(nn.depth_to_space2(x2)),
+                                  np.asarray(x))
