@@ -175,8 +175,14 @@ def apply(params, x, cfg: Yolo26Cfg):
 def apply_s2d(params, x4, cfg: Yolo26Cfg):
     """Fused-serving fast path from the 4×4 space-to-depth letterbox tensor
     (see models/yolo11.py apply_s2d)."""
-    return _apply_from_x1(
-        params, B.stem_s2d_a(params["m0"], params["m1"], x4), cfg)
+    x1 = B.stem_s2d_a(params["m0"], params["m1"], x4)
+    if B.c3k2_is_plain(params["m2"]):
+        # P2 stage in phase space (see models/yolo11.py apply_s2d)
+        y = B.c3k2_s2d_a(params["m2"], nn.space_to_depth2(x1))
+        y = nn.silu(nn.conv2d_s2d(
+            y, nn.s2d_conv_weights(params["m3"]["w"]), params["m3"]["b"]))
+        return _apply_from_m3(params, y, cfg)
+    return _apply_from_x1(params, x1, cfg)
 
 
 apply_s2d.factor = 4
@@ -186,6 +192,10 @@ apply_s2d.supports = lambda cfg: cfg.task not in ("cls",)
 def _apply_from_x1(params, x1, cfg: Yolo26Cfg):
     y = B.c3k2_a(params["m2"], x1)
     y = B.conv_a(params["m3"], y, stride=2)
+    return _apply_from_m3(params, y, cfg)
+
+
+def _apply_from_m3(params, y, cfg: Yolo26Cfg):
     c4 = B.c3k2_a(params["m4"], y)
     y = B.conv_a(params["m5"], c4, stride=2)
     c6 = B.c3k2_a(params["m6"], y)

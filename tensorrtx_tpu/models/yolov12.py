@@ -224,8 +224,14 @@ def apply(params, x, cfg: Yolov12Cfg):
 def apply_s2d(params, x4, cfg: Yolov12Cfg):
     """Fused-serving fast path from the 4×4 space-to-depth letterbox tensor
     (see models/yolo11.py apply_s2d)."""
-    return _apply_from_x1(
-        params, B.stem_s2d_a(params["m0"], params["m1"], x4), cfg)
+    x1 = B.stem_s2d_a(params["m0"], params["m1"], x4)
+    if B.c3k2_is_plain(params["m2"]):
+        # P2 stage in phase space (see models/yolo11.py apply_s2d)
+        y = B.c3k2_s2d_a(params["m2"], nn.space_to_depth2(x1))
+        y = nn.silu(nn.conv2d_s2d(
+            y, nn.s2d_conv_weights(params["m3"]["w"]), params["m3"]["b"]))
+        return _apply_from_m3(params, y, cfg)
+    return _apply_from_x1(params, x1, cfg)
 
 
 apply_s2d.factor = 4
@@ -235,6 +241,10 @@ apply_s2d.supports = lambda cfg: cfg.task not in ("cls",)
 def _apply_from_x1(params, x1, cfg: Yolov12Cfg):
     y = B.c3k2_a(params["m2"], x1)
     y = B.conv_a(params["m3"], y, stride=2)
+    return _apply_from_m3(params, y, cfg)
+
+
+def _apply_from_m3(params, y, cfg: Yolov12Cfg):
     c4 = B.c3k2_a(params["m4"], y)
     y = B.conv_a(params["m5"], c4, stride=2)
     c6 = _a2c2f_a(params["m6"], y, area=4)
@@ -257,7 +267,7 @@ def _apply_from_x1(params, x1, cfg: Yolov12Cfg):
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     extras = None
     if cfg.task == "seg":
-        b = x1.shape[0]
+        b = feats[0].shape[0]
         coef_lv = []
         for i, f in enumerate(feats):
             q = params["cv4"][i]
