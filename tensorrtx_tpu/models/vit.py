@@ -98,17 +98,23 @@ def apply(params, x, cfg: ViTCfg):
     cls = jnp.broadcast_to(params["cls"].astype(y.dtype), (b, 1, cfg.hidden))
     y = jnp.concatenate([cls, y], axis=1) + params["pos"].astype(y.dtype)
     for blk in params["blocks"]:
-        h = nn.layer_norm(y, blk["ln1"]["g"], blk["ln1"]["b"], LN_EPS)
-        q = nn.linear(h, blk["q"]["w"], blk["q"]["b"])
-        k = nn.linear(h, blk["k"]["w"], blk["k"]["b"])
-        v = nn.linear(h, blk["v"]["w"], blk["v"]["b"])
-        a = sdpa(q, k, v, cfg.heads)
-        y = y + nn.linear(a, blk["proj"]["w"], blk["proj"]["b"])
-        h = nn.layer_norm(y, blk["ln2"]["g"], blk["ln2"]["b"], LN_EPS)
-        h = nn.gelu_erf(nn.linear(h, blk["fc1"]["w"], blk["fc1"]["b"]))
-        y = y + nn.linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
+        y = block_a(blk, y, cfg.heads)
     y = nn.layer_norm(y, params["final_ln"]["g"], params["final_ln"]["b"], LN_EPS)
     return nn.linear(y[:, 0], params["head"]["w"], params["head"]["b"])
+
+
+def block_a(blk, y, heads):
+    """One pre-LN encoder block (identical in/out shape — also the stage
+    function for GPipe pipelining, parallel/gpipe.py)."""
+    h = nn.layer_norm(y, blk["ln1"]["g"], blk["ln1"]["b"], LN_EPS)
+    q = nn.linear(h, blk["q"]["w"], blk["q"]["b"])
+    k = nn.linear(h, blk["k"]["w"], blk["k"]["b"])
+    v = nn.linear(h, blk["v"]["w"], blk["v"]["b"])
+    a = sdpa(q, k, v, heads)
+    y = y + nn.linear(a, blk["proj"]["w"], blk["proj"]["b"])
+    h = nn.layer_norm(y, blk["ln2"]["g"], blk["ln2"]["b"], LN_EPS)
+    h = nn.gelu_erf(nn.linear(h, blk["fc1"]["w"], blk["fc1"]["b"]))
+    return y + nn.linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
 
 
 register(ModelDef(

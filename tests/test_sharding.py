@@ -105,3 +105,71 @@ def test_engine_pipeline_matches_serial():
     for x, o in zip(batches, outs):
         ref = np.asarray(s2(s1(jnp.asarray(x))))
         np.testing.assert_allclose(o, ref, atol=1e-6)
+
+
+def test_gpipe_matches_sequential():
+    """GPipe microbatch pipelining of a block stack over an 8-stage pp
+    axis must reproduce the sequential forward exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tensorrtx_tpu.parallel.gpipe import gpipe_apply, shard_stage_params
+
+    S, D = 8, 16
+    rng = np.random.default_rng(3)
+    params = {
+        "w": jnp.asarray(rng.normal(0, 0.3, (S, D, D)), jnp.float32),
+        "b": jnp.asarray(rng.normal(0, 0.1, (S, D)), jnp.float32),
+    }
+
+    def stage(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("pp",))
+    fn = gpipe_apply(stage, mesh)
+    sp = shard_stage_params(params, mesh)
+    xs = jnp.asarray(rng.normal(0, 1, (6, 4, D)), jnp.float32)  # 6 microbatches
+    got = np.asarray(fn(sp, xs))
+
+    ref = np.asarray(xs)
+    for s in range(S):
+        ref = np.tanh(ref @ np.asarray(params["w"][s])
+                      + np.asarray(params["b"][s]))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gpipe_vit_encoder_matches_sequential():
+    """A real model through the pipeline: an 8-block ViT encoder, one
+    block per pp stage, must match the sequential loop."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+    from tensorrtx_tpu.models.vit import block_a
+    from tensorrtx_tpu.parallel.gpipe import gpipe_apply, shard_stage_params
+
+    model = get_model("vit")
+    cfg = dataclasses.replace(model.default_cfg(), layers=8, hidden=64,
+                              heads=4, mlp=128, input_h=32, input_w=32,
+                              patch=16, num_classes=10)
+    params = model.build_params(RandomWeightMap(seed=4), cfg)
+    blocks = params["blocks"]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(0, 1, (4, 2, 5, 64)), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("pp",))
+    fn = gpipe_apply(lambda p, x: block_a(p, x, cfg.heads), mesh)
+    got = np.asarray(fn(shard_stage_params(stacked, mesh), xs))
+
+    ref = xs.reshape(8, 5, 64)
+    for blk in blocks:
+        ref = block_a(blk, ref, cfg.heads)
+    np.testing.assert_allclose(got, np.asarray(ref).reshape(4, 2, 5, 64),
+                               rtol=2e-4, atol=2e-4)
