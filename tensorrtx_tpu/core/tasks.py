@@ -35,7 +35,7 @@ TASKS: Dict[str, str] = {
         "alexnet", "vgg", "googlenet", "squeezenet", "mnasnet",
         "shufflenetv2", "senet", "repvgg", "densenet", "resnet",
         "mobilenetv2", "mobilenetv3", "inception", "ghostnet", "ibnnet",
-        "efficientnet", "hrnet", "vit", "convnextv2", "inceptionv4", "ghostnetv2", "swin_cls", "pp_lcnet_x1_0_doc_ori",
+        "efficientnet", "hrnet", "vit", "convnextv2", "inceptionv4", "ghostnetv2", "pp_lcnet_x1_0_doc_ori",
         "pp_lcnet_x1_0_table_cls", "pp_lcnet_x1_0_textline_ori")},
     **{m: "gray_cls" for m in ("lenet", "mlp")},
     # detectors (fused letterbox+decode+NMS contract)

@@ -27,10 +27,17 @@ def _load_lib():
         return _lib
     if (not os.path.exists(_SO)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         try:
+            # compile to a per-process temp path and os.replace() so the .so
+            # appears atomically (concurrent cold-path processes can't CDLL a
+            # half-written file)
             subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                            _SRC, "-o", _SO], check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                            _SRC, "-o", tmp], check=True, capture_output=True)
+            os.replace(tmp, _SO)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
             raise ImportError(f"native DB postprocess unavailable: {e}")
     lib = ctypes.CDLL(_SO)
     lib.db_boxes.restype = ctypes.c_int64

@@ -21,8 +21,17 @@ _lib = None
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # compile to a per-process temp path and os.replace() so the .so appears
+    # atomically (concurrent cold-path processes can't CDLL a half-written file)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def _load_lib():

@@ -132,8 +132,10 @@ def best_class(cls_logits):
     """(conf, cls_id) from raw class logits without materializing sigmoid
     over every (anchor, class) pair: sigmoid is strictly monotone, so
     max(sigmoid(x)) == sigmoid(max(x)) and argmax(sigmoid(x)) == argmax(x)
-    — bit-identical to the sigmoid-first formulation (same tie order), but
-    the full-probs sigmoid was ~0.8 ms of a 14 ms YOLO11n batch-32 program.
+    — identical to the sigmoid-first formulation (same tie order) except
+    when several class logits saturate f32 sigmoid to exactly 1.0, where
+    argmax over logits picks the true max logit (the more faithful decode).
+    The full-probs sigmoid was ~0.8 ms of a 14 ms YOLO11n batch-32 program.
     """
     import jax
 

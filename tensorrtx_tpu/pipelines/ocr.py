@@ -145,6 +145,11 @@ def make_dbnet_det_fn(engine, cfg=None):
         boxes = postprocess(prob, cfg)[0]
         if scale < 1.0:
             boxes = [(np.asarray(b, np.float32) / scale, s) for b, s in boxes]
+        # the postprocess clips to the det bucket; for non-square images the
+        # bucket edge maps past the original image — clip to (w, h) so
+        # downstream rotate_crop never samples outside the image
+        boxes = [(np.clip(np.asarray(b, np.float32), 0.0,
+                          [w - 1.0, h - 1.0]), s) for b, s in boxes]
         return boxes
 
     return det

@@ -31,7 +31,16 @@ __all__ = ["extract_tensors", "convert", "main"]
 def _from_torch(path: str) -> Dict[str, np.ndarray]:
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: plain state_dicts load without pickle code-exec
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # nn.Module bundles (ultralytics .pt) need full unpickling; warn, since
+        # this executes code from the checkpoint file.
+        print(f"gen_wts: {path} is not a plain state_dict; falling back to "
+              "weights_only=False (unpickles arbitrary objects — only convert "
+              "checkpoints you trust)", file=sys.stderr)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     # unwrap common containers
     if hasattr(ckpt, "state_dict"):          # a bare nn.Module
         sd = ckpt.float().state_dict() if hasattr(ckpt, "float") else ckpt.state_dict()
