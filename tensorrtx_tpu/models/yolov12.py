@@ -34,7 +34,7 @@ _ATTN_SCALE = 0.176777  # hardcoded in block.cpp:526 (≈ 1/√32)
 @dataclasses.dataclass
 class Yolov12Cfg:
     scale: str = "n"
-    task: str = "det"    # det | cls | seg (yolov12-tubro mains)
+    task: str = "det"    # det | cls | seg | pose (yolov12-tubro mains)
     num_classes: int = 80
     input_h: int = 640
     input_w: int = 640
@@ -42,6 +42,8 @@ class Yolov12Cfg:
     conf_thresh: float = 0.5
     nms_thresh: float = 0.45
     max_det: int = 300
+    num_kpts: int = 17          # kNumberOfPoints (yolov12-tubro config.h:10)
+    kpt_conf_thresh: float = 0.5
     postprocess: str = "nms"
 
     @property
@@ -170,16 +172,23 @@ def build_params(wm, cfg: Yolov12Cfg):
     }
     cfg11 = _Cfg11Shim(cfg)
     p["head"] = _det_head_p(wm, cfg11, "model.21", cfg.num_classes)
+    if cfg.task in ("seg", "pose"):
+        import numpy as _np
+
+        # cv4_conv_combined (yolov12-tubro model.cpp:86-112): nm_nk = 32 for
+        # seg, kNumberOfPoints*3 for pose; c4 = max(w(256)/4, nm_nk)
+        nm_nk = 32 if cfg.task == "seg" else cfg.num_kpts * 3
+        chans = [w(256), w(512), w(1024)]
+        cmid = max(w(256) // 4, nm_nk)
+        p["cv4"] = [{
+            "a": B.conv_p(wm, f"model.21.cv4.{i}.0", ci, cmid, 3),
+            "b": B.conv_p(wm, f"model.21.cv4.{i}.1", cmid, cmid, 3),
+            "c": wm.conv2d(f"model.21.cv4.{i}.2", nm_nk, cmid, (1, 1)),
+        } for i, ci in enumerate(chans)]
     if cfg.task == "seg":
         import numpy as _np
 
         chans = [w(256), w(512), w(1024)]
-        cmid = max(w(256) // 4, 32)
-        p["cv4"] = [{
-            "a": B.conv_p(wm, f"model.21.cv4.{i}.0", ci, cmid, 3),
-            "b": B.conv_p(wm, f"model.21.cv4.{i}.1", cmid, cmid, 3),
-            "c": wm.conv2d(f"model.21.cv4.{i}.2", 32, cmid, (1, 1)),
-        } for i, ci in enumerate(chans)]
         c_ = w(256)
         up_w = wm.tensor("model.21.proto.upsample.weight", (c_, c_, 2, 2))
         p["proto"] = {
@@ -266,28 +275,37 @@ def _apply_from_m3(params, y, cfg: Yolov12Cfg):
                                               (8, 16, 32))
     boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
     extras = None
-    if cfg.task == "seg":
+    if cfg.task in ("seg", "pose"):
         b = feats[0].shape[0]
+        nm_nk = 32 if cfg.task == "seg" else cfg.num_kpts * 3
         coef_lv = []
         for i, f in enumerate(feats):
             q = params["cv4"][i]
             yc = B.conv_a(q["b"], B.conv_a(q["a"], f))
             coef_lv.append(nn.conv2d(yc, q["c"]["w"], q["c"]["b"]))
-        extras = jnp.concatenate([v.reshape(b, -1, 32) for v in coef_lv],
+        extras = jnp.concatenate([v.reshape(b, -1, nm_nk) for v in coef_lv],
                                  1).astype(jnp.float32)
-    if cfg.postprocess == "raw":
-        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
-        if extras is not None:
-            out["extras"] = extras
-        return out
-    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
-                          cfg.nms_thresh, cfg.max_det, extras=extras)
-    if cfg.task == "seg":
+        if cfg.task == "pose":
+            extras = D.decode_pose(extras, points, strides_flat, boxes,
+                                   cfg.kpt_conf_thresh)
+    def _proto():
         pr = params["proto"]
         q = B.conv_a(pr["cv1"], feats[0])
         q = nn.silu(nn.conv_transpose2d(q, pr["up_w"], pr["up_b"], stride=2))
         q = B.conv_a(pr["cv2"], q)
-        proto = B.conv_a(pr["cv3"], q)
+        return B.conv_a(pr["cv3"], q)
+
+    if cfg.postprocess == "raw":
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        if cfg.task == "seg":
+            out["proto"] = _proto()
+        return out
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det, extras=extras)
+    if cfg.task == "seg":
+        proto = _proto()
         masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
                                           proto.astype(jnp.float32),
                                           dets.extras))

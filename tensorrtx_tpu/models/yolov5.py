@@ -204,19 +204,24 @@ def _apply_from_x1(params, x1, cfg: Yolov5Cfg):
     conf = jnp.concatenate(conf_all, 1)
     cls_id = jnp.concatenate(cls_all, 1)
     extras = jnp.concatenate(coef_all, 1) if extra else None
-    if cfg.postprocess == "raw":
-        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
-        if extras is not None:
-            out["extras"] = extras
-        return out
-    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
-                          cfg.max_det, extras=extras)
-    if cfg.task == "seg":
+    def _proto():
         pr = params["proto"]
         q = B.conv_a(pr["cv1"], p3)
         q = nn.upsample_nearest(q)
         q = B.conv_a(pr["cv2"], q)
-        proto = B.conv_a(pr["cv3"], q)
+        return B.conv_a(pr["cv3"], q)
+
+    if cfg.postprocess == "raw":
+        out = {"boxes": boxes, "conf": conf, "cls": cls_id}
+        if extras is not None:
+            out["extras"] = extras
+        if cfg.task == "seg":
+            out["proto"] = _proto()
+        return out
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh, cfg.nms_thresh,
+                          cfg.max_det, extras=extras)
+    if cfg.task == "seg":
+        proto = _proto()
         masks = jax.nn.sigmoid(jnp.einsum("bhwc,bnc->bnhw",
                                           proto.astype(jnp.float32),
                                           dets.extras))
