@@ -107,7 +107,9 @@ def _tree_a(p, x, level, cout, stride, level_root):
     t2p = p["tree2"]
     u1 = _basic_a(t2p["tree1"], t1, t1)
     u2 = _basic_a(t2p["tree2"], u1, u1)
-    feats = [u2, u1, t1] + ([bottom] if level_root else [])
+    # children accumulate as [bottom][t1] (centernet.py:131-143: level_root
+    # appends bottom BEFORE tree1), so the root cat order is u2,u1,bottom,t1
+    feats = [u2, u1] + ([bottom] if level_root else []) + [t1]
     return _root_a(t2p["root"], feats)
 
 

@@ -20,20 +20,29 @@ __all__ = ["dcn_v2"]
 
 
 def _gather_bilinear(x: Array, ys: Array, xs: Array) -> Array:
-    """x (H, W, C); ys/xs (Ho, Wo) float → (Ho, Wo, C); zero outside."""
+    """x (H, W, C); ys/xs (Ho, Wo) float → (Ho, Wo, C).
+
+    Reference semantics (dcn_v2_im2col_cuda.cu dmcn_im2col_bilinear):
+    positions fully outside (beyond the (-1, h) band) are zero, and each of
+    the four corners contributes only if it lies inside the map — so a
+    sample in the (-1, 0) band gets a PARTIAL contribution from row/col 0,
+    not a clamped full one."""
     h, w, _ = x.shape
-    valid = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
-    y = jnp.clip(ys, 0.0, h - 1)
-    xq = jnp.clip(xs, 0.0, w - 1)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(xq).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ly = (y - y0)[..., None]
-    lx = (xq - x0)[..., None]
-    out = (x[y0, x0] * (1 - ly) * (1 - lx) + x[y0, x1] * (1 - ly) * lx
-           + x[y1, x0] * ly * (1 - lx) + x[y1, x1] * ly * lx)
-    return jnp.where(valid[..., None], out, 0.0)
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    ly = (ys - y0f)[..., None]
+    lx = (xs - x0f)[..., None]
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+    out = 0.0
+    for dy, wy in ((0, 1 - ly), (1, ly)):
+        for dx, wx in ((0, 1 - lx), (1, lx)):
+            yy = y0 + dy
+            xx = x0 + dx
+            ok = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w))[..., None]
+            g = x[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+            out = out + jnp.where(ok, g * (wy * wx), 0.0)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
