@@ -195,20 +195,23 @@ def letterbox_s2d(
         imgf = imgf[..., ::-1]
     prec = jax.lax.Precision.HIGH  # bf16x3: ~2^-21 pixel error
     k1 = scale * border_value + offset
-    planes = []
-    for a in range(f):
-        gy = (wy[a::f] * scale).astype(out_dtype)          # (dst_h/f, H)
-        t1 = jnp.einsum("uh,hwc->uwc", gy, imgf, precision=prec)
-        for b in range(f):
-            gx = wx[b::f].astype(out_dtype)                # (dst_w/f, W)
-            p = jnp.einsum("vw,uwc->uvc", gx, t1, precision=prec)
-            # border mass: samples outside the (traced) valid region pull
-            # border_value; offset applies to every pixel
-            bm = 1.0 - rs_y[a::f][:, None] * rs_x[b::f][None, :]
-            p = p.astype(jnp.float32) + bm[..., None] * k1 \
-                + (1.0 - bm[..., None]) * offset
-            planes.append(p.astype(out_dtype))
-    return jnp.concatenate(planes, axis=-1)
+    # all f² parity planes in two stacked einsums — the output's trailing
+    # (a, b, c) axes reshape straight into the a-major/b/c channel order the
+    # s2d convs expect, so no concatenate (a 16-way concat here was ~0.6 ms
+    # of layout copies per batch-32 iter on v5e)
+    uu, vv = dst_h // f, dst_w // f
+    gy = (wy.reshape(uu, f, H).transpose(1, 0, 2) * scale).astype(out_dtype)
+    gx = wx.reshape(vv, f, W).transpose(1, 0, 2).astype(out_dtype)
+    t1 = jnp.einsum("auh,hwc->auwc", gy, imgf, precision=prec)
+    p = jnp.einsum("bvw,auwc->uvabc", gx, t1, precision=prec)
+    # border mass: samples outside the (traced) valid region pull
+    # border_value; offset applies to every pixel
+    bm = 1.0 - (rs_y.reshape(uu, f).transpose(1, 0)[:, None, :, None]
+                * rs_x.reshape(vv, f).transpose(1, 0)[None, :, None, :]
+                ).transpose(2, 3, 0, 1)                     # (u, v, a, b)
+    p = p.astype(jnp.float32) + bm[..., None] * k1 \
+        + (1.0 - bm[..., None]) * offset
+    return p.astype(out_dtype).reshape(uu, vv, f * f * img.shape[-1])
 
 
 def letterbox_s2d_batch(imgs: Array, src_hw: Array, dst_h: int, dst_w: int,
