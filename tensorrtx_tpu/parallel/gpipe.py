@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["gpipe_apply", "shard_stage_params"]
+__all__ = ["gpipe_apply", "gpipe_apply_hetero", "shard_stage_params"]
 
 
 def shard_stage_params(params_stacked, mesh: Mesh, axis: str = "pp"):
@@ -93,3 +93,121 @@ def gpipe_apply(stage_fn: Callable, mesh: Mesh, axis: str = "pp"):
             out_specs=P())(params_stacked, xs)
 
     return jax.jit(fn)
+
+
+def gpipe_apply_hetero(stage_fns, stage_params, in_shapes, out_shape,
+                       mesh: Mesh, axis: str = "pp",
+                       act_dtype=jnp.float32):
+    """GPipe pipelining for HETEROGENEOUS stages (per-boundary shapes).
+
+    Conv backbones change activation shape per stage (a resnet stage halves
+    H,W and doubles C), which the homogeneous `gpipe_apply` cannot express:
+    SPMD pipelining ppermutes ONE carry type around the ring. Here every
+    boundary activation is packed into a flat ring buffer sized to the
+    LARGEST boundary, each device runs only its own stage via `lax.switch`
+    on the pp index, and per-stage parameters (arbitrary pytrees of
+    different structure per stage) are flattened to padded rows of one
+    (S, L) float32 array sharded one-row-per-device — so weights, like the
+    reference's per-GPU engines (tutorials/multi_GPU_processing.md:13-30),
+    live only on their stage's chip.
+
+    Args:
+      stage_fns: list of S callables ``fn(params_s, x_s) -> y_s``.
+      stage_params: list of S parameter pytrees (float leaves).
+      in_shapes: per-microbatch input shape of each stage (mb dim first);
+        stage s output shape must equal ``in_shapes[s+1]``.
+      out_shape: shape of the last stage's output.
+      act_dtype: dtype of the packed ring buffer (activations are cast in
+        and out of it per stage).
+
+    Returns (jitted_fn, packed_params) with
+    ``jitted_fn(packed_params, xs)`` where xs is (n_micro, *in_shapes[0]);
+    output (n_micro, *out_shape), replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_stages = mesh.shape[axis]
+    assert len(stage_fns) == len(stage_params) == len(in_shapes) == n_stages
+
+    import numpy as _np
+
+    all_shapes = list(in_shapes) + [tuple(out_shape)]
+    sizes = [int(_np.prod(s)) for s in all_shapes]
+    F = max(sizes)
+
+    # flatten every stage's params to one padded float32 row
+    leaves_meta = []          # per stage: [(offset, shape, dtype), ...]
+    rows = []
+    for ps in stage_params:
+        leaves = jax.tree.leaves(ps)
+        meta, chunks, off = [], [], 0
+        for leaf in leaves:
+            a = jnp.asarray(leaf)
+            meta.append((off, a.shape, a.dtype))
+            chunks.append(a.astype(jnp.float32).ravel())
+            off += a.size
+        leaves_meta.append(meta)
+        rows.append(jnp.concatenate(chunks) if chunks
+                    else jnp.zeros((0,), jnp.float32))
+    L = max(r.shape[0] for r in rows)
+    packed = jnp.stack([jnp.pad(r, (0, L - r.shape[0])) for r in rows])
+    packed = jax.device_put(packed, NamedSharding(mesh, P(axis)))
+    treedefs = [jax.tree.structure(ps) for ps in stage_params]
+
+    def _unflatten(s, row):
+        meta = leaves_meta[s]
+        leaves = [row[off:off + int(_np.prod(shp))].reshape(shp).astype(dt)
+                  for (off, shp, dt) in meta]
+        return jax.tree.unflatten(treedefs[s], leaves)
+
+    def _pack(y):
+        flat = y.astype(act_dtype).ravel()
+        return jnp.pad(flat, (0, F - flat.shape[0]))
+
+    def _branch(s):
+        def run(row, buf):
+            params = _unflatten(s, row)
+            x = buf[:sizes[s]].reshape(in_shapes[s])
+            y = stage_fns[s](params, x)
+            assert tuple(y.shape) == tuple(all_shapes[s + 1]), (
+                f"stage {s} produced {y.shape}, expected {all_shapes[s + 1]}")
+            return _pack(y)
+        return run
+
+    branches = [_branch(s) for s in range(n_stages)]
+
+    def spmd(p_local, xs_flat):
+        row = p_local[0]
+        idx = lax.axis_index(axis)
+        n_micro = xs_flat.shape[0]
+        ticks = n_micro + n_stages - 1
+        state = lax.pvary(jnp.zeros((F,), act_dtype), (axis,))
+        outs = lax.pvary(jnp.zeros((n_micro, F), act_dtype), (axis,))
+        ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def step(carry, t):
+            state_in, outs = carry
+            feed = xs_flat[jnp.clip(t, 0, n_micro - 1)]
+            x_in = jnp.where(idx == 0, feed, state_in)
+            y = lax.switch(idx, branches, row, x_in)
+            w = t - (n_stages - 1)
+            valid = (idx == n_stages - 1) & (w >= 0) & (w < n_micro)
+            outs = jnp.where(
+                valid,
+                lax.dynamic_update_index_in_dim(
+                    outs, y, jnp.clip(w, 0, n_micro - 1), 0),
+                outs)
+            return (lax.ppermute(y, axis, ring), outs), None
+
+        (_, outs), _ = lax.scan(step, (state, outs), jnp.arange(ticks))
+        outs = lax.psum(jnp.where(idx == n_stages - 1, outs, 0.0), axis)
+        return outs
+
+    def fn(packed_params, xs):
+        n_micro = xs.shape[0]
+        xs_flat = jax.vmap(_pack)(xs)
+        outs = shard_map(spmd, mesh=mesh, in_specs=(P(axis), P()),
+                         out_specs=P())(packed_params, xs_flat)
+        return outs[:, :sizes[-1]].reshape((n_micro,) + tuple(out_shape))
+
+    return jax.jit(fn), packed

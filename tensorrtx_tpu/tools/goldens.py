@@ -1,0 +1,152 @@
+"""Deterministic random-weight golden fixtures (seed → output digest).
+
+The reference validates ports by dumping tensors from the source framework
+and diffing (ppocrv5/README.md:449-476 dump methodology). Offline, the
+equivalent regression net is: fixed seed → RandomWeightMap params → fixed
+input → output digest committed to tests/goldens.json. Any refactor that
+changes a model's numerics is caught without re-running torch.
+
+Regenerate after an INTENTIONAL numeric change:
+    python -m tensorrtx_tpu.tools.goldens [model ...]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tests", "goldens.json")
+
+# small-input overrides so the whole sweep runs in CPU-test time; models
+# absent here run their default cfg. Sizes keep every stride/window
+# constraint of the graph.
+OVERRIDES = {
+    "alexnet": {"input_h": 224, "input_w": 224},   # fixed-size fc flatten
+    "centernet": {"input_h": 128, "input_w": 128},
+    "convnextv2": {"input_h": 128, "input_w": 128},
+    "csrnet": {"input_h": 128, "input_w": 160},
+    "dbnet": {"input_h": 192, "input_w": 320},
+    "detr": {"input_h": 192, "input_w": 192},
+    "efficientnet": {"input_h": 128, "input_w": 128},
+    "ghostnet": {"input_h": 128, "input_w": 160},
+    "ghostnetv2": {"input_h": 128, "input_w": 128},
+    "hrnet": {"input_h": 128, "input_w": 128},
+    "hrnet-ocr": {"input_h": 128, "input_w": 256},
+    "hrnet-seg": {"input_h": 128, "input_w": 256},
+    "ibnnet": {"input_h": 128, "input_w": 128},
+    "inception": {"input_h": 160, "input_w": 160},
+    "inceptionv4": {"input_h": 160, "input_w": 160},
+    "mnasnet": {"input_h": 128, "input_w": 128},
+    "mobilenetv2": {"input_h": 128, "input_w": 128},
+    "mobilenetv3": {"input_h": 128, "input_w": 128},
+    "pp_docblocklayout": {"input_h": 192, "input_w": 192},
+    "pp_doclayout_plus_l": {"input_h": 192, "input_w": 192},
+    "pp_formulanet_plus_l": {"input_h": 192, "input_w": 192, "max_len": 8},
+    "ppocrv5_det": {"input_h": 192, "input_w": 192},
+    "ppocrv5_server_det": {"input_h": 192, "input_w": 192},
+    "psenet": {"input_h": 192, "input_w": 192},
+    "rcnn": {"input_h": 192, "input_w": 256, "pre_nms_topk": 512,
+             "post_nms_topk": 32, "detections_per_image": 16},
+    "real-esrgan": {"input_h": 64, "input_w": 64},
+    "real-esrgan-x4v3": {"input_h": 64, "input_w": 64},
+    "refinedet": {},                               # priors fixed to 320
+    "repvgg": {"input_h": 128, "input_w": 128},
+    "resnet": {"input_h": 128, "input_w": 128},
+    "retinaface": {"input_h": 192, "input_w": 256},
+    "retinaface-anticov": {"input_h": 192, "input_w": 192},
+    "rt_detr_l_wired_table_cell_det": {"input_h": 192, "input_w": 192},
+    "rt_detr_l_wireless_table_cell_det": {"input_h": 192, "input_w": 192},
+    "scaled-yolov4": {"input_h": 256, "input_w": 256},
+    "senet": {"input_h": 128, "input_w": 128},
+    "shufflenetv2": {"input_h": 128, "input_w": 128},
+    "slanet_plus": {"input_h": 192, "input_w": 192, "max_steps": 8},
+    "slanext_wired": {"input_h": 192, "input_w": 192, "max_steps": 8},
+    "squeezenet": {"input_h": 128, "input_w": 128},
+    "swin": {"input_h": 192, "input_w": 192},
+    "tsm": {"input_h": 128, "input_w": 128},
+    "unet": {"input_h": 128, "input_w": 192},
+    "uvdoc": {"input_h": 192, "input_w": 192, "resize_h": 184,
+              "resize_w": 120},
+    "vgg": {},                                     # fixed-size fc flatten
+    "vit": {"input_h": 128, "input_w": 128},
+    "yolo11": {"input_h": 192, "input_w": 192},
+    "yolo26": {"input_h": 192, "input_w": 192},
+    "yolop": {"input_h": 192, "input_w": 320},
+    "yolov10": {"input_h": 192, "input_w": 192},
+    "yolov12": {"input_h": 192, "input_w": 192},
+    "yolov13": {"input_h": 192, "input_w": 192},
+    "yolov3": {"input_h": 192, "input_w": 192},
+    "yolov3-tiny": {"input_h": 192, "input_w": 192},
+    "yolov4": {"input_h": 192, "input_w": 192},
+    "yolov5": {"input_h": 192, "input_w": 192},
+    "yolov5-lite": {"input_h": 192, "input_w": 192},
+    "yolov7": {"input_h": 192, "input_w": 192},
+    "yolov8": {"input_h": 192, "input_w": 192},
+    "yolov9": {"input_h": 192, "input_w": 192},
+}
+
+
+def _leaf_digest(path, arr):
+    a = np.asarray(arr, np.float64).ravel()
+    if a.size == 0:
+        return {"shape": list(np.shape(arr)), "mean": 0.0, "std": 0.0,
+                "sample": []}
+    step = max(a.size // 8, 1)
+    return {
+        "shape": list(np.shape(arr)),
+        "mean": float(np.round(np.nanmean(a), 6)),
+        "std": float(np.round(np.nanstd(a), 6)),
+        "sample": [float(np.round(v, 6)) for v in a[::step][:8]],
+    }
+
+
+def compute_golden(name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+
+    model = get_model(name)
+    cfg = dataclasses.replace(model.default_cfg(), **OVERRIDES.get(name, {}))
+    params = jax.tree.map(jnp.asarray,
+                          model.build_params(RandomWeightMap(seed=0), cfg))
+    h, w, c = model.input_shape(cfg)
+    # tsm consumes a clip: batch = num_segments frames
+    b = getattr(cfg, "num_segments", 1)
+    x = jnp.asarray(np.random.default_rng(1234).uniform(
+        -1.0, 1.0, (b, h, w, c)), jnp.float32)
+    out = jax.jit(lambda p, v: model.apply(p, v, cfg))(params, x)
+    leaves = jax.tree.leaves_with_path(out)
+    return {jax.tree_util.keystr(path): _leaf_digest(path, leaf)
+            for path, leaf in leaves}
+
+
+def main(argv=None):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from tensorrtx_tpu.core.registry import list_models
+
+    names = (argv or sys.argv[1:]) or list_models()
+    goldens = {}
+    if os.path.exists(GOLDEN_PATH):
+        goldens = json.load(open(GOLDEN_PATH))
+    for name in names:
+        try:
+            goldens[name] = compute_golden(name)
+            print(f"golden: {name} ok", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"golden: {name} FAILED: {e}", file=sys.stderr)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(goldens, f, indent=0, sort_keys=True)
+    print(f"wrote {GOLDEN_PATH} ({len(goldens)} models)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Per-model TPU latency sweep vs the reference's published TRT tables.
+
+Produces the measurements behind PERF.md: batch-1 device time per model
+(fused graph incl. decode/NMS where the reference's engine embeds the
+plugin), measured as a jitted `lax.scan` stream over K frames so the
+number is chip time, not the per-dispatch relay RPC unique to this
+environment (see BENCH methodology / docs/measure_performance.md).
+
+Run on the real chip:  python -m tensorrtx_tpu.tools.perf_sweep
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+# (name, cfg overrides, precision, batch, reference ms, reference tag)
+CASES = [
+    ("yolov9", {"scale": "t", "postprocess": "nms"}, "bf16", 1,
+     1.37, "fp16 RTX4060Ti yolov9/README.md:37"),
+    ("yolov9", {"scale": "s", "postprocess": "nms"}, "bf16", 1,
+     1.78, "fp16 RTX4060Ti yolov9/README.md:39"),
+    ("yolov9", {"scale": "m", "postprocess": "nms"}, "bf16", 1,
+     2.8, "fp16 RTX4060Ti yolov9/README.md:41"),
+    ("yolov9", {"scale": "c", "postprocess": "nms"}, "bf16", 1,
+     4.6, "fp16 RTX4060Ti yolov9/README.md:42"),
+    ("yolov5", {"scale": "n", "postprocess": "nms"}, "bf16", 1,
+     0.58, "fp16 RTX4060Ti yolov9/README.md:27"),
+    ("rcnn", {"task": "det"}, "bf16", 1,
+     36.0, "fp16 2080Ti rcnn/README.md:151 (640x480)"),
+    ("rcnn", {"task": "mask"}, "bf16", 1,
+     44.0, "fp16 2080Ti rcnn/README.md:153 (640x480)"),
+    ("efficient_ad", {}, "fp32", 1,
+     12.0, "fp32 RTX3080 efficient_ad/README.md:49"),
+    ("detr", {"input_h": 800, "input_w": 800}, "bf16", 1,
+     9.42, "fp16 2080Ti detr/README.md:86"),
+    ("unet", {"input_h": 640, "input_w": 960, "num_classes": 2}, "bf16", 8,
+     14.0, "fp16 bs8 per-image unet/README.md:56"),
+    ("crnn", {"raw_output": True}, "bf16", 1,
+     None, "no published number"),
+]
+
+
+def _engine(name, over, precision):
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrtx_tpu.core.engine import Engine
+    from tensorrtx_tpu.core.params import resolve_dtype
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+
+    model = get_model(name)
+    cfg = dataclasses.replace(model.default_cfg(), **over)
+    params = model.build_params(RandomWeightMap(), cfg)
+    dtype = resolve_dtype(precision)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, dtype)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), params)
+    return Engine(name, params, cfg, precision)
+
+
+def measure(name, over, precision, batch, reps=3):
+    """Stream-scan steady-state ms per call of the fused b=<batch> graph."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tensorrtx_tpu.core.runner import bench_marginal
+
+    e = _engine(name, over, precision)
+    h, w, c = e.model.input_shape(e.cfg)
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    K = 8
+
+    def stream(params, xs):
+        def body(carry, x):
+            out = e.raw_apply(params, x)
+            # fold outputs so nothing accumulates in the scan carry
+            leaves = jax.tree.leaves(out)
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return carry + s, None
+        acc, _ = lax.scan(body, jnp.float32(0), xs)
+        return acc
+
+    fn = jax.jit(stream)
+    rng = np.random.default_rng(0)
+    xss = [jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (K, batch, h, w, c)), dt)) for _ in range(4)]
+    args = [(e.params, x) for x in xss]
+    vals = [bench_marginal(fn, args, n_small=5, n_large=20)["iter_ms"] / K
+            for _ in range(reps)]
+    return float(np.median(vals))
+
+
+def main():
+    import os
+
+    from tensorrtx_tpu.core.engine import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".bench_xla_cache"))
+    rows = []
+    for (name, over, precision, batch, ref_ms, tag) in CASES:
+        try:
+            ms = measure(name, over, precision, batch)
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            print(f"# {name} {over}: FAILED {exc}", file=sys.stderr)
+            continue
+        per_img = ms / batch
+        row = {"model": name, "cfg": over, "precision": precision,
+               "batch": batch, "ms_per_call": round(ms, 3),
+               "ms_per_image": round(per_img, 3), "ref_ms": ref_ms,
+               "ref": tag,
+               "speedup_vs_ref": (round(ref_ms / per_img, 2)
+                                  if ref_ms else None)}
+        rows.append(row)
+        print(f"# {name} {over} b{batch} {precision}: {per_img:.3f} ms/img"
+              + (f"  (ref {ref_ms} ms, {row['speedup_vs_ref']}x)"
+                 if ref_ms else ""), file=sys.stderr)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

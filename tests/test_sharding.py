@@ -173,3 +173,48 @@ def test_gpipe_vit_encoder_matches_sequential():
         ref = block_a(blk, ref, cfg.heads)
     np.testing.assert_allclose(got, np.asarray(ref).reshape(4, 2, 5, 64),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gpipe_hetero_conv_backbone_matches_sequential():
+    """Heterogeneous-stage pipelining: a 4-stage conv backbone whose
+    activation shape changes at every boundary (stride-2 stages) must
+    reproduce the sequential forward (VERDICT r2 #5 — per-boundary buffer
+    shapes; stage weights live one-per-device as flattened rows)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tensorrtx_tpu.ops import nn as jnn
+    from tensorrtx_tpu.parallel.gpipe import gpipe_apply_hetero
+
+    rng = np.random.default_rng(7)
+    chans = [8, 16, 32, 64, 96]
+    mb = 2
+    in_shapes = [(mb, 32 // (2 ** s), 32 // (2 ** s), chans[s])
+                 for s in range(4)]
+    out_shape = (mb, 2, 2, chans[4])
+    stage_params = [{
+        "w": jnp.asarray(rng.normal(0, 0.2, (3, 3, chans[s], chans[s + 1])),
+                         jnp.float32),
+        "b": jnp.asarray(rng.normal(0, 0.1, (chans[s + 1],)), jnp.float32),
+    } for s in range(4)]
+
+    def stage(p, x):
+        import jax as _jax
+        return _jax.nn.relu(jnn.conv2d(x, p["w"], p["b"], stride=2,
+                                       padding=1))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+    fn, packed = gpipe_apply_hetero(
+        [stage] * 4, stage_params, in_shapes, out_shape, mesh)
+    xs = jnp.asarray(rng.normal(0, 1, (5,) + in_shapes[0]), jnp.float32)
+    got = np.asarray(fn(packed, xs))
+
+    ref = []
+    for m in range(5):
+        y = xs[m]
+        for p in stage_params:
+            y = stage(p, y)
+        ref.append(np.asarray(y))
+    np.testing.assert_allclose(got, np.stack(ref), rtol=1e-5, atol=1e-5)
