@@ -96,6 +96,10 @@ def _leaf_digest(path, arr):
     if a.size == 0:
         return {"shape": list(np.shape(arr)), "mean": 0.0, "std": 0.0,
                 "sample": []}
+    # random weights push some decode exps to inf; clip so the digest stays
+    # finite and comparable (the clip boundary itself is config-stable)
+    a = np.clip(np.nan_to_num(a, nan=0.0, posinf=1e6, neginf=-1e6),
+                -1e6, 1e6)
     step = max(a.size // 8, 1)
     return {
         "shape": list(np.shape(arr)),
@@ -128,6 +132,13 @@ def compute_golden(name: str):
 
 
 def main(argv=None):
+    # generate under the SAME backend config the test suite runs with
+    # (tests/conftest.py): the 8-device virtual CPU mesh changes XLA CPU
+    # codegen enough to shift float results by ~1e-2 on deep graphs
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags
+                                   + " --xla_force_host_platform_device_count=8")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
