@@ -16,7 +16,7 @@ from typing import Dict, List
 
 import jax
 
-__all__ = ["StageProfiler", "trace"]
+__all__ = ["StageProfiler", "device_p50_ms", "trace"]
 
 
 class StageProfiler:
@@ -56,3 +56,47 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_p50_ms(fn, args_list, iters: int = 20) -> float:
+    """Median ON-DEVICE execution time of one call, from a profiler trace.
+
+    Host-side timing of a single dispatch measures the transport (through
+    this environment's network relay, ~30 ms RTT per call), not the chip.
+    This runs `fn` ``iters`` times under `jax.profiler.trace`, then reads
+    the executable's device-execution events (the `jit_*` entries in the
+    chrome trace) and returns their median duration in ms — the honest
+    single-request latency a locally-attached host would observe.
+    """
+    import glob
+    import gzip
+    import json as _json
+    import os
+    import re
+    import tempfile
+
+    import numpy as np
+
+    # warmup
+    out = fn(*args_list[0])
+    jax.tree.map(np.asarray, out)
+    tmpdir = tempfile.mkdtemp(prefix="devp50_")
+    with trace(tmpdir):
+        for i in range(iters):
+            out = fn(*args_list[i % len(args_list)])
+        jax.tree.map(np.asarray, out)
+    durs = []
+    pat = re.compile(r"^jit_")
+    for f in glob.glob(os.path.join(tmpdir, "**", "*.trace.json.gz"),
+                       recursive=True):
+        with gzip.open(f, "rt") as fh:
+            data = _json.load(fh)
+        for e in data.get("traceEvents", []):
+            if (e.get("ph") == "X" and "dur" in e
+                    and pat.match(e.get("name", ""))):
+                durs.append(e["dur"])
+    if not durs:
+        raise RuntimeError("no device execution events found in trace")
+    # keep the last `iters` events (warmup/compile replays excluded)
+    durs = sorted(durs[-iters:])
+    return float(np.median(durs)) / 1e3

@@ -38,6 +38,10 @@ class DETRCfg:
     num_classes: int = 92   # 91 + no-object (detr/gen_wts.py:64)
     input_h: int = 800
     input_w: int = 800
+    # "hwc": (B, H, W, 3) floats; "s2d2": the (B, H/2, W/2, 12) 2×2
+    # space-to-depth pixel shuffle done host-side (free during
+    # preprocessing; on-device it is a pathological 3-channel relayout)
+    input_format: str = "hwc"
 
 
 def position_embedding_sine(h, w, num_pos_feats=128, temperature=10000):
@@ -137,7 +141,8 @@ def _mha(ap, q_in, k_in, v_in, nhead):
 
 
 def apply(params, x, cfg: DETRCfg):
-    feat = backbone_apply(params["backbone"], x, cfg.variant)     # (B,h,w,2048)
+    feat = backbone_apply(params["backbone"], x, cfg.variant,
+                          stem_s2d=True)                          # (B,h,w,2048)
     src = nn.conv2d(feat, params["input_proj"]["w"], params["input_proj"]["b"])
     b, h, w, d = src.shape
     src = src.reshape(b, h * w, d)
@@ -180,6 +185,8 @@ register(ModelDef(
     build_params=build_params,
     apply=apply,
     default_cfg=DETRCfg,
-    input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    input_shape=lambda cfg: ((cfg.input_h // 2, cfg.input_w // 2, 12)
+                             if cfg.input_format == "s2d2"
+                             else (cfg.input_h, cfg.input_w, 3)),
     doc="DETR r50/r101 set prediction (reference: detr/)",
 ))

@@ -150,8 +150,13 @@ def _decode_deltas(deltas, boxes, weights):
 def apply(params, x, cfg: RcnnCfg):
     """x: (B, H, W, 3), BGR mean-subtracted like the reference driver.
     Returns dict of (B, detections_per_image) scores/boxes/classes."""
-    y = jax.nn.relu(nn.conv2d(x, params["stem"]["w"], params["stem"]["b"],
-                              stride=2, padding=3))
+    # 7×7 s2 stem as a block conv on the 2×2 s2d input (see
+    # models/resnet.backbone_apply stem_s2d — identical numerics, no
+    # batch-1 relayout copies)
+    y = jax.nn.relu(nn.conv2d_s2d(
+        nn.space_to_depth2(x),
+        nn.s2d_conv_weights(params["stem"]["w"], padding=3),
+        params["stem"]["b"]))
     y = nn.max_pool(y, 3, 2, 1)
     y = _stage_a(params["res2"], y, 1)
     y = _stage_a(params["res3"], y, 2)

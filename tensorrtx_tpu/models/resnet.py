@@ -91,10 +91,27 @@ def build_params(wm, cfg: ResNetCfg):
     return p
 
 
-def backbone_apply(params, x, variant: str, return_stages=False):
-    """Stem + stages; returns final feature map (or all 4 stage outputs)."""
+def backbone_apply(params, x, variant: str, return_stages=False,
+                   stem_s2d=False):
+    """Stem + stages; returns final feature map (or all 4 stage outputs).
+
+    stem_s2d: run the 7×7 s2 stem as a 4×4 block conv on the 2×2
+    space-to-depth input (ops/nn.conv2d_s2d — numerically identical).
+    XLA's batch-1 emitter for the 3-channel strided stem spends more time
+    in relayout copies than in the conv (DETR-800: 1.13 of 2.47 ms on
+    v5e); the s2d form keeps it a plain wide-K stride-1 conv."""
     block, layers, groups, _ = VARIANTS[variant]
-    y = nn.conv2d(x, params["stem"]["w"], params["stem"]["b"], stride=2, padding=3)
+    if stem_s2d:
+        # x may arrive pre-shuffled as the (H/2, W/2, 12) s2d tensor (the
+        # pixel shuffle is free during host preprocessing; doing it
+        # on-device on a 3-channel tensor is a pathological relayout)
+        x2 = x if x.shape[-1] == 12 else nn.space_to_depth2(x)
+        y = nn.conv2d_s2d(x2,
+                          nn.s2d_conv_weights(params["stem"]["w"], padding=3),
+                          params["stem"]["b"])
+    else:
+        y = nn.conv2d(x, params["stem"]["w"], params["stem"]["b"], stride=2,
+                      padding=3)
     y = jax.nn.relu(y)
     y = nn.max_pool(y, 3, 2, 1)
     outs = []

@@ -145,7 +145,11 @@ def decode_level(bbox, cls, lmk, stride, anchors, input_h, input_w):
 
 
 def apply(params, x, cfg: RetinaFaceCfg):
-    y = nn.conv2d(x, params["stem"]["w"], params["stem"]["b"], stride=2, padding=3)
+    # 7×7 s2 stem as a block conv on the 2×2 s2d input (see
+    # models/resnet.backbone_apply stem_s2d — identical numerics)
+    y = nn.conv2d_s2d(nn.space_to_depth2(x),
+                      nn.s2d_conv_weights(params["stem"]["w"], padding=3),
+                      params["stem"]["b"])
     y = jax.nn.relu(y)
     y = nn.max_pool(y, 3, 2, 1)
     feats = []

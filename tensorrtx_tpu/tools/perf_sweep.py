@@ -35,7 +35,7 @@ CASES = [
      44.0, "fp16 2080Ti rcnn/README.md:153 (640x480)"),
     ("efficient_ad", {}, "fp32", 1,
      12.0, "fp32 RTX3080 efficient_ad/README.md:49"),
-    ("detr", {"input_h": 800, "input_w": 800}, "bf16", 1,
+    ("detr", {"input_h": 800, "input_w": 800, "input_format": "s2d2"}, "bf16", 1,
      9.42, "fp16 2080Ti detr/README.md:86"),
     ("unet", {"input_h": 640, "input_w": 960, "num_classes": 2}, "bf16", 8,
      14.0, "fp16 bs8 per-image unet/README.md:56"),

@@ -180,3 +180,29 @@ def test_unet_parity(tmp_path, rng):
     got = np.asarray(eng(np.transpose(x, (0, 2, 3, 1))))
     tol = max(2e-3, 3e-6 * float(np.abs(ref).max()))
     np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 3, 1)), atol=tol)
+
+
+def test_detr_s2d_input_format_matches_hwc(rng):
+    """input_format='s2d2' (host-side pixel shuffle) must equal the hwc
+    path exactly — same graph from the stem conv onward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+    from tensorrtx_tpu.ops import nn as jnn
+
+    model = get_model("detr")
+    base = dataclasses.replace(model.default_cfg(), input_h=64, input_w=64,
+                               enc_layers=1, dec_layers=1)
+    params = jax.tree.map(jnp.asarray,
+                          model.build_params(RandomWeightMap(seed=4), base))
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)), jnp.float32)
+    ref = model.apply(params, x, base)
+    cfg2 = dataclasses.replace(base, input_format="s2d2")
+    got = model.apply(params, jnn.space_to_depth2(x), cfg2)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-6)
