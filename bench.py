@@ -153,7 +153,7 @@ def main():
             return Engine(name, params, cfg, "bf16")
 
         for name, over, b, ref_ms in (
-                ("detr", dict(input_h=800, input_w=800), 1, 9.42),
+                ("detr", dict(input_h=800, input_w=800, input_format="s2d2"), 1, 9.42),
                 ("unet", dict(input_h=640, input_w=960, num_classes=2), 8,
                  14.0)):
             e = _rand_engine(name, **over)

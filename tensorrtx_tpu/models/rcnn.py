@@ -28,7 +28,7 @@ import numpy as np
 from tensorrtx_tpu.core.registry import ModelDef, register
 from tensorrtx_tpu.ops import nn
 from tensorrtx_tpu.ops.nms import box_iou_matrix, nms_mask, select_and_nms
-from tensorrtx_tpu.ops.roi_align import roi_align
+from tensorrtx_tpu.ops.roi_align import roi_align_matmul
 
 ANCHOR_SIZES = (32, 64, 128, 256, 512)
 ASPECT_RATIOS = (0.5, 1.0, 2.0)
@@ -203,9 +203,9 @@ def apply(params, x, cfg: RcnnCfg):
     proposals = jax.vmap(rpn_one)(scores_all, boxes_all)   # (B, P, 4)
 
     def head_one(f, props):
-        pooled = roi_align(f, props, 1.0 / STRIDE,
-                           (cfg.pooler_resolution, cfg.pooler_resolution),
-                           sampling_ratio=2)
+        pooled = roi_align_matmul(
+            f, props, 1.0 / STRIDE,
+            (cfg.pooler_resolution, cfg.pooler_resolution), sampling_ratio=2)
         z = pooled
         for i, bp in enumerate(params["res5"]):
             z = _bottleneck_a(bp, z, 2 if i == 0 else 1)
@@ -235,9 +235,9 @@ def apply(params, x, cfg: RcnnCfg):
         return dets.as_dict()
 
     def mask_one(f, boxes, classes):
-        pooled = roi_align(f, boxes, 1.0 / STRIDE,
-                           (cfg.pooler_resolution, cfg.pooler_resolution),
-                           sampling_ratio=2)
+        pooled = roi_align_matmul(
+            f, boxes, 1.0 / STRIDE,
+            (cfg.pooler_resolution, cfg.pooler_resolution), sampling_ratio=2)
         z = pooled
         for i, bp in enumerate(params["res5"]):
             z = _bottleneck_a(bp, z, 2 if i == 0 else 1)

@@ -29,6 +29,8 @@ CASES = [
      4.6, "fp16 RTX4060Ti yolov9/README.md:42"),
     ("yolov5", {"scale": "n", "postprocess": "nms"}, "bf16", 1,
      0.58, "fp16 RTX4060Ti yolov9/README.md:27"),
+    ("yolov5", {"scale": "s", "postprocess": "nms"}, "bf16", 1,
+     0.90, "fp16 RTX4060Ti yolov9/README.md:29"),
     ("rcnn", {"task": "det"}, "bf16", 1,
      36.0, "fp16 2080Ti rcnn/README.md:151 (640x480)"),
     ("rcnn", {"task": "mask"}, "bf16", 1,
@@ -37,6 +39,9 @@ CASES = [
      12.0, "fp32 RTX3080 efficient_ad/README.md:49"),
     ("detr", {"input_h": 800, "input_w": 800, "input_format": "s2d2"}, "bf16", 1,
      9.42, "fp16 2080Ti detr/README.md:86"),
+    ("detr", {"variant": "resnet101", "input_h": 800, "input_w": 800,
+              "input_format": "s2d2"}, "bf16", 1,
+     12.4, "fp16 2080Ti detr/README.md:87"),
     ("unet", {"input_h": 640, "input_w": 960, "num_classes": 2}, "bf16", 8,
      14.0, "fp16 bs8 per-image unet/README.md:56"),
     ("crnn", {"raw_output": True}, "bf16", 1,
@@ -65,17 +70,36 @@ def _engine(name, over, precision):
 
 
 def measure(name, over, precision, batch, reps=3):
-    """Stream-scan steady-state ms per call of the fused b=<batch> graph."""
+    """Stream-scan steady-state ms per call of the fused b=<batch> graph.
+
+    Models with an s2d serving fast path are measured through
+    ServingPipeline.stream_fn — the path `cli run` serves them on, with
+    letterbox preprocess fused in (strictly MORE work per frame than the
+    reference's "pure inference" timings it is compared against)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from tensorrtx_tpu.core.runner import bench_marginal
+    from tensorrtx_tpu.core.runner import ServingPipeline, bench_marginal
 
     e = _engine(name, over, precision)
     h, w, c = e.model.input_shape(e.cfg)
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     K = 8
+
+    if batch == 1 and c == 3 and e.model.apply_s2d is not None and \
+            getattr(e.model.apply_s2d, "supports", lambda _: True)(e.cfg):
+        pipe = ServingPipeline(e, h, w, donate=False)
+        fn = pipe.stream_fn(K)
+        rng = np.random.default_rng(0)
+        frames = [jax.device_put(jnp.asarray(
+            rng.integers(0, 255, (K, h, w, 3)), jnp.uint8))
+            for _ in range(4)]
+        hw = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (K, 1))
+        args = [(pipe._params, fr, hw) for fr in frames]
+        vals = [bench_marginal(fn, args, n_small=5, n_large=20)["iter_ms"] / K
+                for _ in range(reps)]
+        return float(np.median(vals))
 
     def stream(params, xs):
         def body(carry, x):

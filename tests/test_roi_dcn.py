@@ -53,6 +53,31 @@ def test_roi_align_matches_reference(rng):
         np.testing.assert_allclose(got[i], exp, atol=1e-4)
 
 
+def test_roi_align_matmul_matches_gather(rng):
+    """The MXU (separable-matmul) path is the same math as the gather path —
+    identical samples and border rule, f32 accumulation order aside."""
+    from tensorrtx_tpu.ops.roi_align import roi_align_matmul
+
+    feat = rng.normal(0, 1, (16, 20, 8)).astype(np.float32)
+    rois = np.array([[4.0, 8.0, 60.0, 44.0],
+                     [0.0, 0.0, 80.0, 64.0],
+                     [30.0, 20.0, 34.0, 25.0],
+                     [-12.0, -9.0, 6.0, 2.0],      # partially outside
+                     [70.0, 55.0, 95.0, 80.0]],    # clipped at far border
+                    np.float32)
+    ref = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25,
+                               (7, 5), 2))
+    got = np.asarray(roi_align_matmul(jnp.asarray(feat), jnp.asarray(rois),
+                                      0.25, (7, 5), 2))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    # aligned=True variant too
+    ref = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25,
+                               (7, 7), 2, aligned=True))
+    got = np.asarray(roi_align_matmul(jnp.asarray(feat), jnp.asarray(rois),
+                                      0.25, (7, 7), 2, aligned=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_dcn_v2_zero_offset_equals_conv(rng):
     """With zero offsets and unit masks, DCNv2 must equal a plain conv."""
     x = rng.normal(0, 1, (1, 10, 12, 4)).astype(np.float32)
