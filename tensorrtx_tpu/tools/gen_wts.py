@@ -7,9 +7,11 @@ Supported inputs:
     wrappers (mmlab/lightning), and ultralytics {'model': nn.Module} bundles
     (the yolo family's .pt layout — matches yolo11/gen_wts.py semantics:
     ckpt['model'].float().state_dict()).
+  - Paddle inference dirs (inference.json/.pdmodel + .pdiparams): parsed
+    natively with numpy — no paddle wheel needed (tools/paddle_reader.py;
+    reference analog ppocrv5/gen_wts.py:71-80 which requires paddle).
   - .npz archives (name → array): the universal escape hatch for frameworks
-    we can't import here (e.g. dump Paddle inference weights to npz with
-    paddle installed elsewhere, then convert).
+    we can't import here.
 
 Weight names pass through unchanged — model builders in this framework use
 the upstream checkpoints' naming (torchvision/ultralytics/paddle), so a
@@ -69,13 +71,25 @@ def _from_npz(path: str) -> Dict[str, np.ndarray]:
 
 
 def extract_tensors(path: str, fmt: str = "auto") -> Dict[str, np.ndarray]:
+    import os
+
     if fmt == "auto":
-        fmt = "npz" if path.endswith(".npz") else "torch"
+        if path.endswith(".npz"):
+            fmt = "npz"
+        elif os.path.isdir(path) or path.endswith(".pdiparams"):
+            fmt = "paddle"
+        else:
+            fmt = "torch"
     if fmt == "torch":
         return _from_torch(path)
     if fmt == "npz":
         return _from_npz(path)
-    raise ValueError(f"unknown format {fmt!r} (use torch|npz)")
+    if fmt == "paddle":
+        from tensorrtx_tpu.tools.paddle_reader import read_paddle_dir
+
+        return {k: np.asarray(v, np.float32)
+                for k, v in read_paddle_dir(path).items()}
+    raise ValueError(f"unknown format {fmt!r} (use torch|npz|paddle)")
 
 
 def convert(input_path: str, output_path: str, fmt: str = "auto",
@@ -102,7 +116,8 @@ def main(argv=None):
         "gen_wts", description="checkpoint (.pt/.pth/.npz) → .wts")
     ap.add_argument("-w", "--weights", required=True, help="input checkpoint")
     ap.add_argument("-o", "--output", required=True, help="output .wts path")
-    ap.add_argument("--format", default="auto", choices=["auto", "torch", "npz"])
+    ap.add_argument("--format", default="auto",
+                    choices=["auto", "torch", "npz", "paddle"])
     ap.add_argument("--exclude", default="",
                     help="regex of tensor names to drop")
     ap.add_argument("--strip-prefix", default="",

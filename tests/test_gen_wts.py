@@ -81,3 +81,77 @@ def test_cli_gen_wts(tmp_path):
     out = tmp_path / "m.wts"
     assert main(["gen-wts", "-w", str(pt), "-o", str(out)]) == 0
     assert out.exists()
+
+
+def _write_pdiparams(path, tensors):
+    """Serialize tensors in paddle's combined LoDTensor stream format
+    (see tools/paddle_reader.py module docstring for the field layout)."""
+    import struct
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    dtid = {np.dtype(np.float32): 5, np.dtype(np.float64): 6,
+            np.dtype(np.int64): 3, np.dtype(np.float16): 4}
+    with open(path, "wb") as f:
+        for arr in tensors:
+            f.write(struct.pack("<I", 0))          # lod version
+            f.write(struct.pack("<Q", 0))          # lod levels
+            f.write(struct.pack("<I", 0))          # tensor version
+            desc = varint((1 << 3) | 0) + varint(dtid[arr.dtype])
+            for d in arr.shape:
+                desc += varint((2 << 3) | 0) + varint(d)
+            f.write(struct.pack("<i", len(desc)))
+            f.write(desc)
+            f.write(arr.tobytes())
+
+
+@pytest.mark.fast
+def test_gen_wts_paddle_dir(tmp_path, rng):
+    """Paddle PIR inference dir → .wts without the paddle wheel.
+
+    Reference analog: ppocrv5/gen_wts.py loads the dir via paddle and dumps
+    params; here the .pdiparams stream and the program JSON are parsed
+    directly (combined save writes tensors sorted by name)."""
+    import json as _json
+
+    from tensorrtx_tpu.core.wts import load_wts
+
+    names = ["conv2d_0.w_0", "batch_norm_0.b_0", "linear_5.w_0",
+             "linear_5.b_0"]
+    tensors = {
+        "conv2d_0.w_0": rng.normal(0, 1, (8, 3, 3, 3)).astype(np.float32),
+        "batch_norm_0.b_0": rng.normal(0, 1, (8,)).astype(np.float32),
+        "linear_5.w_0": rng.normal(0, 1, (16, 10)).astype(np.float32),
+        "linear_5.b_0": rng.normal(0, 1, (10,)).astype(np.float64),
+    }
+    d = tmp_path / "PP-Test_mobile_det"
+    d.mkdir()
+    _write_pdiparams(d / "inference.pdiparams",
+                     [tensors[n] for n in sorted(names)])
+    program = {"program": {"regions": [{"blocks": [{"ops": [
+        {"name": "builtin.parameter",
+         "attrs": {"parameter_name": n}} for n in names]}]}]}}
+    (d / "inference.json").write_text(_json.dumps(program))
+
+    out = tmp_path / "ppocr.wts"
+    n = convert(str(d), str(out))
+    assert n == 4
+    wm = load_wts(str(out))
+    for name, ref in tensors.items():
+        np.testing.assert_allclose(
+            wm[name].reshape(ref.shape), ref.astype(np.float32), rtol=1e-6)
+
+    # legacy .pdmodel program path: names recovered by convention scan
+    (d / "inference.json").unlink()
+    blob = b"\x0a\x07junk" + b"".join(
+        bytes([len(n)]) + n.encode() + b"\x12\x03aaa" for n in names)
+    (d / "inference.pdmodel").write_bytes(blob)
+    n = convert(str(d), str(out))
+    assert n == 4
