@@ -56,6 +56,14 @@ def _dc_a(p, x):
     return jax.nn.relu(nn.conv2d(x, p["c2"]["w"], p["c2"]["b"], padding=1))
 
 
+def _dc_s2dh(p, xh):
+    """doubleConv evaluated in row-phase space (ops/nn.py conv2d_s2dh)."""
+    xh = jax.nn.relu(nn.conv2d_s2dh(
+        xh, nn.s2dh_s1_conv_weights(p["c1"]["w"]), p["c1"]["b"]))
+    return jax.nn.relu(nn.conv2d_s2dh(
+        xh, nn.s2dh_s1_conv_weights(p["c2"]["w"]), p["c2"]["b"]))
+
+
 def _up(x, skip, p):
     y = nn.upsample_bilinear(x, (skip.shape[1], skip.shape[2]),
                              align_corners=True)
@@ -63,16 +71,39 @@ def _up(x, skip, p):
 
 
 def apply(params, x, cfg: UNetCfg):
-    x1 = _dc_a(params["inc"], x)
-    x2 = _dc_a(params["down1"], nn.max_pool(x1, 2, 2))
+    """Full-res level runs in row-phase space (B, H/2, W, 2C): on v5e the
+    NHWC form spent ~35% of the batch-8 iteration relayouting 640×960×64
+    tensors between the conv layout and the reduce_window/upsample layout;
+    row-phase keeps every op C-minor and doubles conv lanes to 128.
+    Numerically identical modulo dot order (same taps, weights, pool and
+    interpolation semantics). Reference: unet/unet.cpp builds the same
+    graph in NCHW where no such layout conflict exists."""
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        x1 = _dc_a(params["inc"], x)
+        x1_pooled, x1_skip, phase = nn.max_pool(x1, 2, 2), x1, False
+    else:
+        x1h = _dc_s2dh(params["inc"], nn.space_to_depth_h(x))
+        x1_pooled, x1_skip, phase = nn.maxpool2_s2dh(x1h), x1h, True
+    x2 = _dc_a(params["down1"], x1_pooled)
     x3 = _dc_a(params["down2"], nn.max_pool(x2, 2, 2))
     x4 = _dc_a(params["down3"], nn.max_pool(x3, 2, 2))
     x5 = _dc_a(params["down4"], nn.max_pool(x4, 2, 2))
     y = _up(x5, x4, params["up1"])
     y = _up(y, x3, params["up2"])
     y = _up(y, x2, params["up3"])
-    y = _up(y, x1, params["up4"])
-    return nn.conv2d(y, params["outc"]["w"], params["outc"]["b"])
+    if not phase:
+        y = _up(y, x1_skip, params["up4"])
+        return nn.conv2d(y, params["outc"]["w"], params["outc"]["b"])
+    yh = nn.upsample_bilinear_to_s2dh(
+        y, (2 * x1_skip.shape[1], x1_skip.shape[2]), align_corners=True)
+    cs, cy = x1_skip.shape[-1] // 2, yh.shape[-1] // 2
+    cat = jnp.concatenate([x1_skip[..., :cs], yh[..., :cy],
+                           x1_skip[..., cs:], yh[..., cy:]], axis=-1)
+    yh = _dc_s2dh(params["up4"], cat)
+    outh = nn.conv2d_s2dh(
+        yh, nn.s2dh_s1_conv_weights(params["outc"]["w"], 0),
+        params["outc"]["b"])
+    return nn.depth_to_space_h(outh)
 
 
 register(ModelDef(

@@ -371,6 +371,121 @@ def depth_to_space2(x2: Array) -> Array:
             .transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c))
 
 
+# ---- H-only phase space (row space-to-depth) --------------------------------
+# For full-resolution C≈64 levels (UNet inc/up4), XLA's layout assignment
+# ping-pongs between C-minor (convs) and spatial-minor (reduce_window /
+# upsample / concat) layouts — ~37 ms of the 107 ms batch-8 UNet iter were
+# full-res relayout copies on v5e. Folding only the ROW parity into channels
+# (B, H/2, W, 2C) keeps W spatial (every op stays NHWC / C-minor) and doubles
+# the conv lane width to 2C = 128 — full MXU lanes — while a k×k stride-1
+# conv stays ONE conv with a (T, k) block kernel (structural zeros make it
+# 2× MACs, but the 128-lane MXU runs it ~2.5× faster than the 64-lane
+# original, and every relayout dies). Reference analog: the CUDA builds
+# never face this — cuDNN NCHW has no competing layouts.
+
+
+def space_to_depth_h(x: Array) -> Array:
+    """(B, H, W, C) → (B, H/2, W, 2C); channel blocks ordered (α, c) with α
+    the source row parity (full-res row 2y+α → block row y, channels
+    α·C..α·C+C)."""
+    b, h, w, c = x.shape
+    return (x.reshape(b, h // 2, 2, w, c)
+            .transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w, 2 * c))
+
+
+def depth_to_space_h(xh: Array) -> Array:
+    """Inverse of `space_to_depth_h`: (B, H/2, W, 2C) → (B, H, W, C)."""
+    b, h2, w, c2 = xh.shape
+    c = c2 // 2
+    return (xh.reshape(b, h2, w, 2, c)
+            .transpose(0, 1, 3, 2, 4).reshape(b, 2 * h2, w, c))
+
+
+def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None):
+    """Rearrange a k×k stride-1 same-padding HWIO kernel to consume and emit
+    row-phase tensors (`space_to_depth_h` layout) via `conv2d_s2dh`.
+
+    Output full-res row 2y+a reads input rows 2y+a+ky−p = 2(y+t)+α, so
+    kernel tap (ky, kx, i, o) lands at block tap (t, kx, α·ci+i, a·co+o)
+    with ky = 2t+α−a+p. Returns (w1 (T, k, 2ci, 2co), (pad_before,
+    pad_after)) for the block-row axis."""
+    k = w.shape[0]
+    assert w.shape[1] == k, "square kernels only"
+    p = k // 2 if padding is None else padding
+    assert 2 * p == k - 1, "s2dh rewrite requires same-padding (odd k)"
+    ci, co = w.shape[2], w.shape[3]
+    taps = [(2 * t + al - a + p, t, al, a)
+            for t in range(-k, k + 1) for al in range(2) for a in range(2)
+            if 0 <= 2 * t + al - a + p < k]
+    t_min = min(t for _, t, _, _ in taps)
+    t_max = max(t for _, t, _, _ in taps)
+    T = t_max - t_min + 1
+    w1 = jnp.zeros((T, k, 2 * ci, 2 * co), w.dtype)
+    for ky, t, al, a in taps:
+        w1 = w1.at[t - t_min, :, al * ci:(al + 1) * ci,
+                   a * co:(a + 1) * co].set(w[ky])
+    return w1, (-t_min, t_max)
+
+
+def conv2d_s2dh(xh: Array, w1, b: Optional[Array] = None) -> Array:
+    """Stride-1 same conv on a row-phase tensor, output in row-phase form
+    (B, H/2, W, 2·Co) — numerically identical to conv2d(x, w, padding=p) on
+    the full-res x followed by `space_to_depth_h` (dot order aside). w1: the
+    (weights, pads) tuple from `s2dh_s1_conv_weights`."""
+    w1, (pb, pa) = w1
+    k = w1.shape[1]
+    if pb == pa == k // 2:
+        q = _maybe_quant_conv_s2d(xh, w1, b, (pb, pa), phases=2)
+        if q is not None:
+            return q
+    xp = jnp.pad(xh, ((0, 0), (pb, pa), (k // 2, k // 2), (0, 0)))
+    out = lax.conv_general_dilated(
+        xp, w1.astype(xh.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_mxu_precision(xh.dtype))
+    if b is not None:
+        out = out + jnp.tile(b, 2).astype(out.dtype)
+    return out
+
+
+def maxpool2_s2dh(xh: Array) -> Array:
+    """2×2 stride-2 max pool of the underlying full-res tensor, consumed in
+    row-phase form; returns plain NHWC (B, H/2, W/2, C). Row pairs are the
+    two phase channel blocks (elementwise max), column pairs are strided
+    slices — no reduce_window, so no spatial-minor layout pressure."""
+    c = xh.shape[-1] // 2
+    m = jnp.maximum(xh[..., :c], xh[..., c:])
+    return jnp.maximum(m[:, :, 0::2, :], m[:, :, 1::2, :])
+
+
+def upsample_bilinear_to_s2dh(x: Array, size: Tuple[int, int],
+                              align_corners: bool = False) -> Array:
+    """`upsample_bilinear` emitting the row-phase layout directly:
+    (B, h, w, C) → (B, size[0]/2, size[1], 2C). Identical weights and dot
+    order per element; the full-res tensor is never materialized, so no
+    relayout copy at the output resolution."""
+    b, h, w, c = x.shape
+    oh, ow = size
+    assert oh % 2 == 0
+    wy = jnp.asarray(_bilinear_matrix(oh, h, align_corners))
+    wx = jnp.asarray(_bilinear_matrix(ow, w, align_corners))
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        wy, wx = wy.astype(x.dtype), wx.astype(x.dtype)
+        ys = [jnp.einsum("oh,bhwc->bowc", wy[al::2], x,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+              for al in range(2)]
+        yh = jnp.concatenate(ys, axis=-1)
+        out = jnp.einsum("pw,bowc->bopc", wx, yh,
+                         preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
+    prec = lax.Precision.HIGH
+    xf = x.astype(jnp.float32)
+    ys = [jnp.einsum("oh,bhwc->bowc", wy[al::2], xf, precision=prec)
+          for al in range(2)]
+    yh = jnp.concatenate(ys, axis=-1)
+    return jnp.einsum("pw,bowc->bopc", wx, yh, precision=prec).astype(x.dtype)
+
+
 def conv_transpose2d(
     x: Array,
     w: Array,
