@@ -97,13 +97,26 @@ def apply(params, x, cfg: UNetCfg):
     yh = nn.upsample_bilinear_to_s2dh(
         y, (2 * x1_skip.shape[1], x1_skip.shape[2]), align_corners=True)
     cs, cy = x1_skip.shape[-1] // 2, yh.shape[-1] // 2
-    cat = jnp.concatenate([x1_skip[..., :cs], yh[..., :cy],
-                           x1_skip[..., cs:], yh[..., cy:]], axis=-1)
-    yh = _dc_s2dh(params["up4"], cat)
-    outh = nn.conv2d_s2dh(
-        yh, nn.s2dh_s1_conv_weights(params["outc"]["w"], 0),
-        params["outc"]["b"])
-    return nn.depth_to_space_h(outh)
+    # segment-aware up4 weights let the concat be a plain channel append
+    # (lane-slicing the phase halves apart cost ~8 ms/iter at batch 8)
+    cat = jnp.concatenate([x1_skip, yh], axis=-1)
+    p4 = params["up4"]
+    yh = jax.nn.relu(nn.conv2d_s2dh(
+        cat, nn.s2dh_s1_conv_weights(p4["c1"]["w"], in_segments=(cs, cy)),
+        p4["c1"]["b"]))
+    yh = jax.nn.relu(nn.conv2d_s2dh(
+        yh, nn.s2dh_s1_conv_weights(p4["c2"]["w"]), p4["c2"]["b"]))
+    # outc (1×1, co = num_classes) as a broadcast multiply-sum: co≈2 fills
+    # 2 of 128 MXU lanes, so the dot form ran ~6 TF/s; the VPU form reads
+    # yh once and fuses into the preceding conv's epilogue
+    b_, h2, w_, c2 = yh.shape
+    wf = params["outc"]["w"].reshape(c2 // 2, -1).astype(yh.dtype)
+    xr = yh.reshape(b_, h2, w_, 2, c2 // 2)
+    outh = (xr[..., None] * wf).sum(axis=-2, dtype=jnp.float32)
+    if params["outc"]["b"] is not None:
+        outh = outh + params["outc"]["b"].astype(jnp.float32)
+    outh = outh.astype(yh.dtype)
+    return outh.transpose(0, 1, 3, 2, 4).reshape(b_, 2 * h2, w_, -1)
 
 
 register(ModelDef(

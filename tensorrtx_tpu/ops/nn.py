@@ -401,30 +401,63 @@ def depth_to_space_h(xh: Array) -> Array:
             .transpose(0, 1, 3, 2, 4).reshape(b, 2 * h2, w, c))
 
 
-def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None):
+def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
+                         in_segments=None):
     """Rearrange a k×k stride-1 same-padding HWIO kernel to consume and emit
     row-phase tensors (`space_to_depth_h` layout) via `conv2d_s2dh`.
 
     Output full-res row 2y+a reads input rows 2y+a+ky−p = 2(y+t)+α, so
     kernel tap (ky, kx, i, o) lands at block tap (t, kx, α·ci+i, a·co+o)
     with ky = 2t+α−a+p. Returns (w1 (T, k, 2ci, 2co), (pad_before,
-    pad_after)) for the block-row axis."""
+    pad_after)) for the block-row axis.
+
+    in_segments: optional channel sizes (c0, c1, …) summing to ci, for an
+    input that is a concatenation of separate phase tensors laid out
+    [seg0(α0), seg0(α1), seg1(α0), seg1(α1), …] — i.e. each phase tensor
+    appended whole instead of interleaved α-major. Building the matching
+    weight permutation here makes the concat a single minor-dim append (no
+    lane-slicing relayouts)."""
     k = w.shape[0]
     assert w.shape[1] == k, "square kernels only"
     p = k // 2 if padding is None else padding
     assert 2 * p == k - 1, "s2dh rewrite requires same-padding (odd k)"
     ci, co = w.shape[2], w.shape[3]
-    taps = [(2 * t + al - a + p, t, al, a)
-            for t in range(-k, k + 1) for al in range(2) for a in range(2)
-            if 0 <= 2 * t + al - a + p < k]
-    t_min = min(t for _, t, _, _ in taps)
-    t_max = max(t for _, t, _, _ in taps)
-    T = t_max - t_min + 1
-    w1 = jnp.zeros((T, k, 2 * ci, 2 * co), w.dtype)
-    for ky, t, al, a in taps:
-        w1 = w1.at[t - t_min, :, al * ci:(al + 1) * ci,
-                   a * co:(a + 1) * co].set(w[ky])
-    return w1, (-t_min, t_max)
+    segs = (ci,) if in_segments is None else tuple(in_segments)
+    assert sum(segs) == ci
+    valid = {(al, a): {} for al in range(2) for a in range(2)}
+    for t in range(-k, k + 1):
+        for al in range(2):
+            for a in range(2):
+                ky = 2 * t + al - a + p
+                if 0 <= ky < k:
+                    valid[(al, a)][t] = ky
+    t_min = min(t for d in valid.values() for t in d)
+    t_max = max(t for d in valid.values() for t in d)
+    wj = jnp.asarray(w)
+    # assemble with static concats only — the graph re-derives w1 from the
+    # live weights every call, and a scatter formulation here compiled to a
+    # 9 ms/iter while-loop in the batch-8 UNet program
+    zeros = {}
+
+    def piece(ky, lo, cseg, a):
+        if ky is None:
+            if (cseg,) not in zeros:
+                zeros[(cseg,)] = jnp.zeros((k, cseg, co), wj.dtype)
+            return zeros[(cseg,)]
+        return wj[ky, :, lo:lo + cseg, :]
+
+    planes = []
+    for t in range(t_min, t_max + 1):
+        row_blocks = []
+        lo = 0
+        for cseg in segs:
+            for al in range(2):
+                row_blocks.append(jnp.concatenate(
+                    [piece(valid[(al, a)].get(t), lo, cseg, a)
+                     for a in range(2)], axis=2))
+            lo += cseg
+        planes.append(jnp.concatenate(row_blocks, axis=1))
+    return jnp.stack(planes), (-t_min, t_max)
 
 
 def conv2d_s2dh(xh: Array, w1, b: Optional[Array] = None) -> Array:
@@ -453,9 +486,11 @@ def maxpool2_s2dh(xh: Array) -> Array:
     row-phase form; returns plain NHWC (B, H/2, W/2, C). Row pairs are the
     two phase channel blocks (elementwise max), column pairs are strided
     slices — no reduce_window, so no spatial-minor layout pressure."""
-    c = xh.shape[-1] // 2
-    m = jnp.maximum(xh[..., :c], xh[..., c:])
-    return jnp.maximum(m[:, :, 0::2, :], m[:, :, 1::2, :])
+    b, h2, w, c2 = xh.shape
+    c = c2 // 2
+    # one reshape-reduce over (column pair, row phase) — lane-halving
+    # slices / stride-2 column slices made XLA emit W-minor transposes
+    return jnp.max(xh.reshape(b, h2, w // 2, 2, 2, c), axis=(3, 4))
 
 
 def upsample_bilinear_to_s2dh(x: Array, size: Tuple[int, int],
