@@ -276,8 +276,16 @@ def _sppelan_a(sp, x):
 
 def _branch3(p, f, groups=1):
     y = B.conv_a(p["a"], f)
-    y = B.conv_a(p["b"], y, groups=groups)
-    return nn.conv2d(y, p["c"]["w"], p["c"]["b"], groups=groups)
+    if groups == 1:
+        y = B.conv_a(p["b"], y)
+        return nn.conv2d(y, p["c"]["w"], p["c"]["b"])
+    # grouped head convs run dense block-diagonal: exact, and keeps the
+    # group-split layout out of the DFL decode (ops/nn.py
+    # dense_grouped_weights)
+    wb = nn.dense_grouped_weights(p["b"]["w"], groups)
+    y = nn.silu(nn.conv2d(y, wb, p["b"]["b"], padding=wb.shape[0] // 2))
+    wc = nn.dense_grouped_weights(p["c"]["w"], groups)
+    return nn.conv2d(y, wc, p["c"]["b"])
 
 
 def _decode_tail(params, box_lv, cls_lv, x, cfg):
@@ -296,6 +304,10 @@ def _decode_tail(params, box_lv, cls_lv, x, cfg):
 def _apply_converted(params, x, cfg):
     y = B.conv_a(params["m0"], x, stride=2)
     y = B.conv_a(params["m1"], y, stride=2)
+    return _apply_converted_from_stem(params, y, cfg)
+
+
+def _apply_converted_from_stem(params, y, cfg):
     if "cv2_0" in params["m2"]:
         y = _elan4_a(params["m2"], y)
     else:
@@ -320,7 +332,7 @@ def _apply_converted(params, x, cfg):
               for i, f in enumerate(feats)]
     cls_lv = [_branch3(params["head"]["cv3"][i], f)
               for i, f in enumerate(feats)]
-    return _decode_tail(params, box_lv, cls_lv, x, cfg)
+    return _decode_tail(params, box_lv, cls_lv, y, cfg)
 
 
 def apply(params, x, cfg: Yolov9Cfg):
@@ -336,15 +348,21 @@ def apply(params, x, cfg: Yolov9Cfg):
 
 def apply_s2d(params, x4, cfg: Yolov9Cfg):
     """Fused-serving fast path from the 4×4 space-to-depth letterbox tensor
-    (see models/yolo11.py apply_s2d). Both stems — the GELAN main stem and
-    the PGI auxiliary stem — consume the same parity tensor."""
+    (see models/yolo11.py apply_s2d). Full-pipeline scales: both stems —
+    the GELAN main stem and the PGI auxiliary stem — consume the same
+    parity tensor. Converted scales (t/s/m): the single 3×3/3×3 stem pair
+    takes the same rewrite (their raw-input space-to-batch stem cost
+    ~2.4 ms/img of a 2.9 ms yolov9-t on v5e)."""
+    if cfg.scale in _CONVERTED:
+        y = B.stem_s2d_a(params["m0"], params["m1"], x4)
+        return _apply_converted_from_stem(params, y, cfg)
     x1 = B.stem_s2d_a(params["c1"], params["c2"], x4)
     x1b = B.stem_s2d_a(params["c26"], params["c27"], x4)
     return _apply_from_x1(params, x1, x1b, cfg)
 
 
 apply_s2d.factor = 4
-apply_s2d.supports = lambda cfg: cfg.scale not in _CONVERTED
+apply_s2d.supports = lambda cfg: True
 
 
 def _apply_from_x1(params, x1, x1b, cfg: Yolov9Cfg):

@@ -187,7 +187,7 @@ def conv2d_s2d(x2: Array, w2, b: Optional[Array] = None) -> Array:
     return out
 
 
-def _maybe_quant_conv_s2d(x, w, b, pads, phases: int):
+def _maybe_quant_conv_s2d(x, w, b, pads, phases: int, strides=(1, 1)):
     """Quantization-context handling for the s2d conv rewrites (None when no
     context is active or in tap mode, where the caller continues in float).
 
@@ -220,13 +220,14 @@ def _maybe_quant_conv_s2d(x, w, b, pads, phases: int):
     sw = jnp.asarray(st.w_scales[i], jnp.float32)
     if phases > 1:
         sw = jnp.tile(sw, phases)
-    pb, pa = pads
+    # pads: (pb, pa) applied to both spatial dims, or ((pbh, pah), (pbw, paw))
+    ph, pw = pads if isinstance(pads[0], tuple) else (pads, pads)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
-    xq = jnp.pad(xq.astype(jnp.int8), ((0, 0), (pb, pa), (pb, pa), (0, 0)))
+    xq = jnp.pad(xq.astype(jnp.int8), ((0, 0), ph, pw, (0, 0)))
     wq = jnp.clip(jnp.round(w.astype(jnp.float32) / sw[None, None, None, :]),
                   -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(
-        xq, wq, (1, 1), [(0, 0), (0, 0)],
+        xq, wq, strides, [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * (sx * sw)[None, None, None, :]
@@ -437,14 +438,20 @@ def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
     # assemble with static concats only — the graph re-derives w1 from the
     # live weights every call, and a scatter formulation here compiled to a
     # 9 ms/iter while-loop in the batch-8 UNet program
+    osegs = (co,) if out_segments is None else tuple(out_segments)
+    assert sum(osegs) == co
+    o_offs, acc = [], 0
+    for oseg in osegs:
+        o_offs.append(acc)
+        acc += oseg
     zeros = {}
 
-    def piece(ky, lo, cseg, a):
+    def piece(ky, lo, cseg, olo, oseg):
         if ky is None:
-            if (cseg,) not in zeros:
-                zeros[(cseg,)] = jnp.zeros((k, cseg, co), wj.dtype)
-            return zeros[(cseg,)]
-        return wj[ky, :, lo:lo + cseg, :]
+            if (cseg, oseg) not in zeros:
+                zeros[(cseg, oseg)] = jnp.zeros((k, cseg, oseg), wj.dtype)
+            return zeros[(cseg, oseg)]
+        return wj[ky, :, lo:lo + cseg, olo:olo + oseg]
 
     planes = []
     for t in range(t_min, t_max + 1):
@@ -453,8 +460,9 @@ def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
         for cseg in segs:
             for al in range(2):
                 row_blocks.append(jnp.concatenate(
-                    [piece(valid[(al, a)].get(t), lo, cseg, a)
-                     for a in range(2)], axis=2))
+                    [piece(valid[(al, a)].get(t), lo, cseg, olo, oseg)
+                     for olo, oseg in zip(o_offs, osegs) for a in range(2)],
+                    axis=2))
             lo += cseg
         planes.append(jnp.concatenate(row_blocks, axis=1))
     return jnp.stack(planes), (-t_min, t_max)
@@ -736,6 +744,27 @@ def leaky_relu(x: Array, slope: float = 0.1) -> Array:
 
 
 softmax = jax.nn.softmax
+
+
+def dense_grouped_weights(w: Array, groups: int) -> Array:
+    """Expand a grouped-conv HWIO kernel (k, k, ci/g, co) into the exact
+    dense block-diagonal (k, k, ci, co) kernel.
+
+    Why: a grouped conv's (g, co/g)-split output layout propagates into its
+    consumers — yolov9's groups=4 box heads pushed a (…, 4, 16) lane-split
+    layout into the DFL reductions, which then ran at ~6% tile occupancy
+    (1.25 ms/img of a 2.6 ms yolov9-t program on v5e). Head convs are tiny,
+    so the g× extra MACs are noise while the dense form keeps the standard
+    C-minor layout end to end."""
+    k1, k2, cig, co = w.shape
+    cog = co // groups
+    blocks = []
+    for g in range(groups):
+        pre = jnp.zeros((k1, k2, cig, g * cog), w.dtype)
+        post = jnp.zeros((k1, k2, cig, (groups - 1 - g) * cog), w.dtype)
+        blocks.append(jnp.concatenate(
+            [pre, w[..., g * cog:(g + 1) * cog], post], axis=3))
+    return jnp.concatenate(blocks, axis=2)
 
 
 def dfl(box_logits: Array, reg_max: int = 16) -> Array:

@@ -186,17 +186,20 @@ def test_yolov8_apply_s2d_matches_apply():
                                rtol=1e-3, atol=5e-2)
 
 
-@pytest.mark.parametrize("name", ["yolov9", "yolov10", "yolov12", "yolo26",
-                                  "yolov7", "yolov4", "scaled-yolov4",
-                                  "yolov3", "yolov5-lite"])
+@pytest.mark.parametrize("name", ["yolov9", "yolov9:t", "yolov10", "yolov12",
+                                  "yolo26", "yolov7", "yolov4",
+                                  "scaled-yolov4", "yolov3", "yolov5-lite"])
 def test_detector_apply_s2d_matches_apply(name):
     from tensorrtx_tpu.core.random_weights import RandomWeightMap
     from tensorrtx_tpu.core.registry import get_model
 
+    name, _, scale = name.partition(":")
     model = get_model(name)
     cfg = model.default_cfg()
     over = dict(input_h=64, input_w=64, max_det=16)
-    if hasattr(cfg, "scale") and name != "yolov9":
+    if scale:  # yolov9 converted-graph scales have their own s2d stem path
+        over["scale"] = scale
+    elif hasattr(cfg, "scale") and name != "yolov9":
         over["scale"] = "n"
     cfg = dataclasses.replace(cfg, **over)
     params = model.build_params(RandomWeightMap(seed=2), cfg)
