@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.ops import detect as D
 from tensorrtx_tpu.ops import nn
 from tensorrtx_tpu.ops.nms import select_and_nms
 
@@ -184,22 +185,12 @@ def _apply_from_focus(params, y, cfg: YolopCfg):
     for i, f in enumerate([p3, p4, p5]):
         raw = nn.conv2d(f, params["det"][i]["w"], params["det"][i]["b"])
         h, w_ = raw.shape[1], raw.shape[2]
-        r = raw.reshape(b, h * w_, 3, 5 + nc).astype(jnp.float32)
-        cols = jnp.tile(jnp.arange(w_, dtype=jnp.float32), h)
-        rows = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w_)
-        sig = jax.nn.sigmoid(r)
-        cx = (sig[..., 0] * 2.0 - 0.5 + cols[None, :, None]) * strides[i]
-        cy = (sig[..., 1] * 2.0 - 0.5 + rows[None, :, None]) * strides[i]
-        anc = params["anchors"][i].astype(jnp.float32)
-        bw = jnp.square(sig[..., 2] * 2.0) * anc[None, None, :, 0]
-        bh = jnp.square(sig[..., 3] * 2.0) * anc[None, None, :, 1]
-        obj = sig[..., 4]
-        clsp = sig[..., 5:]
-        conf = jnp.where(obj >= cfg.ignore_thresh, obj * jnp.max(clsp, -1), 0.0)
-        boxes_all.append(jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2,
-                                    cy + bh / 2], -1).reshape(b, -1, 4))
-        conf_all.append(conf.reshape(b, -1))
-        cls_all.append(jnp.argmax(clsp, -1).astype(jnp.float32).reshape(b, -1))
+        bx, conf, cls_id = D.anchor_decode_level_flat(
+            raw, params["anchors"][i], strides[i], nc, cfg.ignore_thresh,
+            power=True)
+        boxes_all.append(bx)
+        conf_all.append(conf)
+        cls_all.append(cls_id)
     boxes = jnp.concatenate(boxes_all, 1)
     conf = jnp.concatenate(conf_all, 1)
     cls_id = jnp.concatenate(cls_all, 1)

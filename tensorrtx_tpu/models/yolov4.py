@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorrtx_tpu.core.registry import ModelDef, register
+from tensorrtx_tpu.ops import detect as D
 from tensorrtx_tpu.ops import nn
 from tensorrtx_tpu.ops.nms import select_and_nms
 
@@ -119,20 +120,8 @@ def _csp_tail_a(st, d):
 
 
 def _decode_level(raw, anchors, stride, nc, ignore_thresh):
-    b, h, w, _ = raw.shape
-    r = raw.reshape(b, h * w, 3, 5 + nc).astype(jnp.float32)
-    cols = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
-    rows = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
-    sig = jax.nn.sigmoid(r)
-    cx = (cols[None, :, None] + sig[..., 0]) * stride
-    cy = (rows[None, :, None] + sig[..., 1]) * stride
-    bw = jnp.exp(r[..., 2]) * anchors[None, None, :, 0]
-    bh = jnp.exp(r[..., 3]) * anchors[None, None, :, 1]
-    conf = jnp.where(sig[..., 4] >= ignore_thresh,
-                     sig[..., 4] * jnp.max(sig[..., 5:], -1), 0.0)
-    cls_id = jnp.argmax(sig[..., 5:], -1).astype(jnp.float32)
-    boxes = jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
-    return (boxes.reshape(b, -1, 4), conf.reshape(b, -1), cls_id.reshape(b, -1))
+    return D.anchor_decode_level_flat(raw, anchors, stride, nc,
+                                      ignore_thresh, power=False)
 
 
 def apply(params, x, cfg: Yolov4Cfg):

@@ -209,22 +209,12 @@ def _apply_from_c1(params, y, cfg: Yolov7Cfg):
     for i, f in enumerate([p3, p4, p5]):
         raw = nn.conv2d(f, params[f"det{i}"]["w"], params[f"det{i}"]["b"])
         h, w_ = raw.shape[1], raw.shape[2]
-        raw = raw.reshape(b, h * w_, 3, 5 + nc).astype(jnp.float32)
-        pts, _ = D.make_anchor_grid(h * strides[i], w_ * strides[i],
-                                    (strides[i],))
-        anc = params["anchors"][i].astype(jnp.float32)
-        sig = jax.nn.sigmoid(raw)
-        xy = (sig[..., 0:2] * 2.0 - 0.5
-              + (pts - 0.5)[None, :, None, :]) * strides[i]
-        wh = jnp.square(sig[..., 2:4] * 2.0) * anc[None, None]
-        obj = sig[..., 4]
-        conf = jnp.where(obj >= cfg.ignore_thresh,
-                         obj * jnp.max(sig[..., 5:], -1), 0.0)
-        cls_id = jnp.argmax(sig[..., 5:], -1).astype(jnp.float32)
-        bx = jnp.concatenate([xy - wh * 0.5, xy + wh * 0.5], -1)
-        boxes_all.append(bx.reshape(b, -1, 4))
-        conf_all.append(conf.reshape(b, -1))
-        cls_all.append(cls_id.reshape(b, -1))
+        bx, conf, cls_id = D.anchor_decode_level_flat(
+            raw, params["anchors"][i], strides[i], nc, cfg.ignore_thresh,
+            power=True)
+        boxes_all.append(bx)
+        conf_all.append(conf)
+        cls_all.append(cls_id)
     boxes = jnp.concatenate(boxes_all, 1)
     conf = jnp.concatenate(conf_all, 1)
     cls_id = jnp.concatenate(cls_all, 1)

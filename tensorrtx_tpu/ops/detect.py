@@ -128,6 +128,51 @@ def anchor_yolo_decode(
     return jnp.concatenate([x1y1, x2y2], axis=-1), scores
 
 
+def anchor_decode_level_flat(raw, anchors, stride, nc: int,
+                             ignore_thresh: float, power: bool):
+    """Per-level anchor-based decode on flat (cell·anchor) rows.
+
+    raw: the level's (B, H, W, 3·(5+nc)) head output; anchors (3, 2) in
+    pixels. Returns (boxes_xyxy (B,N,4), conf (B,N), cls_id (B,N)) with
+    N = H·W·3 in (cell-major, anchor-minor) order — identical values to
+    the reference per-anchor loop (yolov5/plugin/yololayer.cu:161-226).
+
+    power=True: v5-family decode xy = (2σ−0.5+cell)·s, wh = (2σ)²·anchor;
+    power=False: v3/v4 decode xy = (σ+cell)·s, wh = exp(t)·anchor.
+
+    Layout: the (B, H·W, 3, 5+nc) form puts the 3 anchors in sublanes
+    (3/8 tile occupancy — ~620 µs of a 1.3 ms yolov5-n program on v5e went
+    to its sigmoid/argmax fusions); flat rows tile fully. Class conf uses
+    the monotone-sigmoid max-logit trick (see best_class)."""
+    import jax
+
+    b, h, w, _ = raw.shape
+    r = raw.reshape(b, h * w * 3, 5 + nc)
+    cols = jnp.repeat(jnp.tile(jnp.arange(w, dtype=jnp.float32), h), 3)
+    rows = jnp.repeat(jnp.repeat(jnp.arange(h, dtype=jnp.float32), w), 3)
+    anc3 = jnp.tile(anchors.astype(jnp.float32), (h * w, 1))
+    sxy = jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32))
+    if power:
+        cx = (sxy[..., 0] * 2.0 - 0.5 + cols[None]) * stride
+        cy = (sxy[..., 1] * 2.0 - 0.5 + rows[None]) * stride
+        swh = jax.nn.sigmoid(r[..., 2:4].astype(jnp.float32))
+        bw = jnp.square(swh[..., 0] * 2.0) * anc3[None, :, 0]
+        bh = jnp.square(swh[..., 1] * 2.0) * anc3[None, :, 1]
+    else:
+        cx = (cols[None] + sxy[..., 0]) * stride
+        cy = (rows[None] + sxy[..., 1]) * stride
+        bw = jnp.exp(r[..., 2].astype(jnp.float32)) * anc3[None, :, 0]
+        bh = jnp.exp(r[..., 3].astype(jnp.float32)) * anc3[None, :, 1]
+    obj = jax.nn.sigmoid(r[..., 4].astype(jnp.float32))
+    conf_cls = jax.nn.sigmoid(
+        jnp.max(r[..., 5:5 + nc], -1).astype(jnp.float32))
+    cls_id = jnp.argmax(r[..., 5:5 + nc], -1).astype(jnp.float32)
+    conf = jnp.where(obj >= ignore_thresh, obj * conf_cls, 0.0)
+    boxes = jnp.stack([cx - bw / 2, cy - bh / 2,
+                       cx + bw / 2, cy + bh / 2], -1)
+    return boxes, conf, cls_id
+
+
 def best_class(cls_logits):
     """(conf, cls_id) from raw class logits without materializing sigmoid
     over every (anchor, class) pair: sigmoid is strictly monotone, so
