@@ -289,6 +289,52 @@ def c3k2_s2d_a(p, x2, shortcut=True):
     return conv_s2d_s1_a(p["cv2"], cat)
 
 
+def conv_s2dh_a(p, xh, in_segments=None, out_segments=None):
+    """silu(stride-1 conv) on a row-phase tensor (ops/nn.conv2d_s2dh)."""
+    w1 = nn.s2dh_s1_conv_weights(p["w"], in_segments=in_segments,
+                                 out_segments=out_segments)
+    return nn.silu(nn.conv2d_s2dh(xh, w1, p["b"],
+                                  out_segments=out_segments))
+
+
+def c3k2_s2dh_a(p, xh, shortcut=True):
+    """c3k2_a on a row-phase tensor (B, H/2, W, 2C) — the b32/b1 fast form
+    for C≤64 stages: 2C fills the 128 MXU lanes (the NHWC C64 convs ran at
+    ~45 of 197 TF/s at batch 32; row-phase 66+ despite the structural 2×
+    MACs of the block kernel). cv1 emits its two halves as whole segments
+    (out_segments) so the split/concat are plain minor-dim slices at
+    segment boundaries; numerically identical to c3k2_a modulo dot order.
+    Plain-bottleneck variants only (mirrors c3k2_s2d_a)."""
+    c_ = p["cv1"]["w"].shape[-1] // 2      # per-phase half width
+    y = conv_s2dh_a(p["cv1"], xh, out_segments=(c_, c_))
+    parts = [y[..., :2 * c_], y[..., 2 * c_:]]
+    cur = parts[1]
+    for bp in p["m"]:
+        z = conv_s2dh_a(bp["cv1"], cur)
+        z = conv_s2dh_a(bp["cv2"], z)
+        cur = cur + z if (shortcut and cur.shape[-1] == z.shape[-1]) else z
+        parts.append(cur)
+    cat = jnp.concatenate(parts, axis=-1)
+    return conv_s2dh_a(p["cv2"], cat, in_segments=(c_,) * len(parts))
+
+
+def c3k2_down_a(p4, p5, x, shortcut=True):
+    """The shared "P3 c3k2/c2f stage + stride-2 downsample" backbone motif
+    (yolo11/v8/v12/26 m4+m5), row-phase when it pays: at batch ≤8 the C≤64
+    stage convs fill only half the MXU lanes, so the stage runs on a
+    `space_to_depth_h` tensor (2C lanes) and the downsample conv exits
+    phase space for free (ops/nn.conv2d_s2dh_exit). Returns (c4, down).
+    Numerically identical to (c3k2_a, conv_a stride-2) modulo dot order."""
+    if (c3k2_is_plain(p4) and x.shape[1] % 2 == 0 and x.shape[0] <= 8
+            and p5["w"].shape[0] % 2 == 1):
+        ch = c3k2_s2dh_a(p4, nn.space_to_depth_h(x), shortcut=shortcut)
+        down = nn.silu(nn.conv2d_s2dh_exit(
+            ch, nn.s2dh_exit_conv_weights(p5["w"]), p5["b"]))
+        return nn.depth_to_space_h(ch), down
+    c4 = c3k2_a(p4, x, shortcut=shortcut)
+    return c4, conv_a(p5, c4, stride=2)
+
+
 def c3k2_is_plain(p) -> bool:
     """True when every sub-block is a plain bottleneck (no C3k)."""
     return all("cv3" not in b for b in p["m"])

@@ -101,8 +101,7 @@ def _backbone_from2_a(p, x):
 
 
 def _backbone_from4_a(p, x):
-    c4 = B.c3k2_a(p["m4"], x)
-    x = B.conv_a(p["m5"], c4, stride=2)
+    c4, x = B.c3k2_down_a(p["m4"], p["m5"], x)
     return _backbone_from6_a(p, x, c4)
 
 
@@ -313,9 +312,9 @@ def apply_s2d(params, x4, cfg: Yolo11Cfg):
         y2 = B.c3k2_s2d_a(bb["m2"], nn.space_to_depth2(x1))
         x = nn.silu(nn.conv2d_s2d(
             y2, nn.s2d_conv_weights(bb["m3"]["w"]), bb["m3"]["b"]))
-        # (phase-space m4 measured SLOWER: its 32-ch convs at the 80-grid
-        # don't cover the 4x block-kernel FLOPs; P2 is the only stage
-        # where the rewrite pays)
+        # (2×2-phase m4 measured SLOWER — 4× block-kernel FLOPs at 32ch;
+        # the m4 stage instead goes ROW-phase at small batch inside
+        # _backbone_from4_a via _yolo_blocks.c3k2_down_a)
         feats3 = _backbone_from4_a(bb, x)
     else:
         feats3 = _backbone_from2_a(bb, x1)

@@ -196,8 +196,7 @@ def _apply_from_x1(params, x1, cfg: Yolo26Cfg):
 
 
 def _apply_from_m3(params, y, cfg: Yolo26Cfg):
-    c4 = B.c3k2_a(params["m4"], y)
-    y = B.conv_a(params["m5"], c4, stride=2)
+    c4, y = B.c3k2_down_a(params["m4"], params["m5"], y)
     c6 = B.c3k2_a(params["m6"], y)
     y = B.conv_a(params["m7"], c6, stride=2)
     y = B.c3k2_a(params["m8"], y)

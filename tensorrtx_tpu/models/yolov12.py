@@ -254,8 +254,7 @@ def _apply_from_x1(params, x1, cfg: Yolov12Cfg):
 
 
 def _apply_from_m3(params, y, cfg: Yolov12Cfg):
-    c4 = B.c3k2_a(params["m4"], y)
-    y = B.conv_a(params["m5"], c4, stride=2)
+    c4, y = B.c3k2_down_a(params["m4"], params["m5"], y)
     c6 = _a2c2f_a(params["m6"], y, area=4)
     y = B.conv_a(params["m7"], c6, stride=2)
     c8 = _a2c2f_a(params["m8"], y, area=1)

@@ -388,8 +388,7 @@ def _apply_main_from_x1(params, x1, cfg: Yolov8Cfg):
 
 
 def _apply_main_from_m3(params, y, cfg: Yolov8Cfg):
-    c4 = B.c2f_a(params["m4"], y, shortcut=True)
-    y = B.conv_a(params["m5"], c4, stride=2)
+    c4, y = B.c3k2_down_a(params["m4"], params["m5"], y, shortcut=True)
     c6 = B.c2f_a(params["m6"], y, shortcut=True)
     y = B.conv_a(params["m7"], c6, stride=2)
     y = B.c2f_a(params["m8"], y, shortcut=True)

@@ -187,7 +187,8 @@ def conv2d_s2d(x2: Array, w2, b: Optional[Array] = None) -> Array:
     return out
 
 
-def _maybe_quant_conv_s2d(x, w, b, pads, phases: int, strides=(1, 1)):
+def _maybe_quant_conv_s2d(x, w, b, pads, phases: int, strides=(1, 1),
+                          out_perm=None):
     """Quantization-context handling for the s2d conv rewrites (None when no
     context is active or in tap mode, where the caller continues in float).
 
@@ -220,6 +221,8 @@ def _maybe_quant_conv_s2d(x, w, b, pads, phases: int, strides=(1, 1)):
     sw = jnp.asarray(st.w_scales[i], jnp.float32)
     if phases > 1:
         sw = jnp.tile(sw, phases)
+    if out_perm is not None:
+        sw = sw[out_perm]
     # pads: (pb, pa) applied to both spatial dims, or ((pbh, pah), (pbw, paw))
     ph, pw = pads if isinstance(pads[0], tuple) else (pads, pads)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
@@ -233,6 +236,8 @@ def _maybe_quant_conv_s2d(x, w, b, pads, phases: int, strides=(1, 1)):
     out = acc.astype(jnp.float32) * (sx * sw)[None, None, None, :]
     if b is not None:
         bb = b if phases == 1 else jnp.tile(b, phases)
+        if out_perm is not None:
+            bb = bb[out_perm]
         out = out + bb.astype(jnp.float32)
     return out.astype(x.dtype)
 
@@ -403,7 +408,7 @@ def depth_to_space_h(xh: Array) -> Array:
 
 
 def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
-                         in_segments=None):
+                         in_segments=None, out_segments=None):
     """Rearrange a k×k stride-1 same-padding HWIO kernel to consume and emit
     row-phase tensors (`space_to_depth_h` layout) via `conv2d_s2dh`.
 
@@ -417,7 +422,12 @@ def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
     [seg0(α0), seg0(α1), seg1(α0), seg1(α1), …] — i.e. each phase tensor
     appended whole instead of interleaved α-major. Building the matching
     weight permutation here makes the concat a single minor-dim append (no
-    lane-slicing relayouts)."""
+    lane-slicing relayouts).
+
+    out_segments: same idea for the OUTPUT channels — emit them grouped
+    [seg0(α0), seg0(α1), seg1(α0), …] so a downstream channel split is a
+    segment-boundary slice. Pass the same tuple to `conv2d_s2dh` so bias /
+    quant scales follow."""
     k = w.shape[0]
     assert w.shape[1] == k, "square kernels only"
     p = k // 2 if padding is None else padding
@@ -468,15 +478,28 @@ def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
     return jnp.stack(planes), (-t_min, t_max)
 
 
-def conv2d_s2dh(xh: Array, w1, b: Optional[Array] = None) -> Array:
+def conv2d_s2dh(xh: Array, w1, b: Optional[Array] = None,
+                out_segments=None) -> Array:
     """Stride-1 same conv on a row-phase tensor, output in row-phase form
     (B, H/2, W, 2·Co) — numerically identical to conv2d(x, w, padding=p) on
     the full-res x followed by `space_to_depth_h` (dot order aside). w1: the
-    (weights, pads) tuple from `s2dh_s1_conv_weights`."""
+    (weights, pads) tuple from `s2dh_s1_conv_weights`; out_segments must
+    match the value the weights were built with (it permutes the per-output
+    -channel bias / quant scales to the segmented order)."""
     w1, (pb, pa) = w1
     k = w1.shape[1]
+    perm = None
+    if out_segments is not None:
+        co = sum(out_segments)
+        perm, olo = [], 0
+        for oseg in out_segments:
+            for a in range(2):
+                perm.extend(a * co + olo + j for j in range(oseg))
+            olo += oseg
+        perm = jnp.asarray(perm)
     if pb == pa == k // 2:
-        q = _maybe_quant_conv_s2d(xh, w1, b, (pb, pa), phases=2)
+        q = _maybe_quant_conv_s2d(xh, w1, b, (pb, pa), phases=2,
+                                  out_perm=perm)
         if q is not None:
             return q
     xp = jnp.pad(xh, ((0, 0), (pb, pa), (k // 2, k // 2), (0, 0)))
@@ -485,7 +508,61 @@ def conv2d_s2dh(xh: Array, w1, b: Optional[Array] = None) -> Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_mxu_precision(xh.dtype))
     if b is not None:
-        out = out + jnp.tile(b, 2).astype(out.dtype)
+        bb = jnp.tile(b, 2)
+        out = out + (bb if perm is None else bb[perm]).astype(out.dtype)
+    return out
+
+
+def s2dh_exit_conv_weights(w: Array, padding: Optional[int] = None):
+    """Rearrange a k×k stride-2 HWIO kernel (odd k, same-padding) to consume
+    a row-phase tensor and emit PLAIN NHWC at half resolution — the natural
+    phase-space exit (downsample convs close every phase region for free).
+
+    Output row Y reads full-res rows 2Y+ky−p = 2(Y+t)+α, so ky = 2t+α+p.
+    Returns (w1 (T, k, 2ci, co), (pad_before, pad_after)) for the block-row
+    axis; H stride is 1 on block rows (≡ full-res stride 2), W stride 2."""
+    k = w.shape[0]
+    assert w.shape[1] == k, "square kernels only"
+    p = k // 2 if padding is None else padding
+    ci, co = w.shape[2], w.shape[3]
+    valid = {al: {} for al in range(2)}
+    for t in range(-k, k + 1):
+        for al in range(2):
+            ky = 2 * t + al + p
+            if 0 <= ky < k:
+                valid[al][t] = ky
+    t_min = min(t for d in valid.values() for t in d)
+    t_max = max(t for d in valid.values() for t in d)
+    wj = jnp.asarray(w)
+    planes = []
+    for t in range(t_min, t_max + 1):
+        row_blocks = []
+        for al in range(2):
+            ky = valid[al].get(t)
+            row_blocks.append(jnp.zeros((k, ci, co), wj.dtype)
+                              if ky is None else wj[ky])
+        planes.append(jnp.concatenate(row_blocks, axis=1))
+    return jnp.stack(planes), (-t_min, t_max)
+
+
+def conv2d_s2dh_exit(xh: Array, w1, b: Optional[Array] = None) -> Array:
+    """Stride-2 conv consuming a row-phase tensor, plain NHWC output
+    (B, H/2, W/2, Co) — numerically identical to conv2d(x, w, stride=2,
+    padding=p) on the full-res x (dot order aside). w1: the (weights, pads)
+    tuple from `s2dh_exit_conv_weights`."""
+    w1, (pb, pa) = w1
+    k = w1.shape[1]
+    q = _maybe_quant_conv_s2d(xh, w1, b, ((pb, pa), (k // 2, k // 2)),
+                              phases=1, strides=(1, 2))
+    if q is not None:
+        return q
+    xp = jnp.pad(xh, ((0, 0), (pb, pa), (k // 2, k // 2), (0, 0)))
+    out = lax.conv_general_dilated(
+        xp, w1.astype(xh.dtype), (1, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_mxu_precision(xh.dtype))
+    if b is not None:
+        out = out + b.astype(out.dtype)
     return out
 
 

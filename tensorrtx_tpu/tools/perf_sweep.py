@@ -46,6 +46,16 @@ CASES = [
      14.0, "fp16 bs8 per-image unet/README.md:56"),
     ("crnn", {"raw_output": True}, "bf16", 1,
      None, "no published number"),
+    ("psenet", {}, "fp32", 1,
+     30.0, "fp32 Tesla-P40 psenet/README.md:3 (incl. pre/post)"),
+    ("vit", {}, "bf16", 1,
+     29.67, "profiler total vit/README.md:83 (GPU unstated)"),
+    ("yolop", {}, "bf16", 1,
+     26.0, "fp16 Jetson-Xavier-NX yolop/README.md:64 (edge device)"),
+    ("yolov7", {}, "bf16", 1,
+     None, "no published number"),
+    ("yolov3", {}, "bf16", 1,
+     None, "no published number"),
 ]
 
 
