@@ -222,6 +222,7 @@ def _conv_weights(engine: Engine) -> List[np.ndarray]:
     model, cfg = engine.model, engine.cfg
     ws: List[np.ndarray] = []
     import tensorrtx_tpu.ops.nn as _nn
+    from tensorrtx_tpu.ops import quant_ctx
 
     orig_conv = _nn.conv2d
 
@@ -229,10 +230,15 @@ def _conv_weights(engine: Engine) -> List[np.ndarray]:
         ws.append(np.asarray(w))
         return orig_conv(x, w, b, **kw)
 
+    # phase-space convs inside model.apply (conv2d_s2dh / _exit) don't go
+    # through nn.conv2d; their weight builders report the original HWIO
+    # kernel via quant_ctx.WEIGHT_SPY so trace-order indices stay aligned
     _nn.conv2d = conv_spy
+    quant_ctx.WEIGHT_SPY = ws
     try:
         h, w_, c = model.input_shape(cfg)
         model.apply(engine.params, jnp.zeros((1, h, w_, c), jnp.float32), cfg)
     finally:
         _nn.conv2d = orig_conv
+        quant_ctx.WEIGHT_SPY = None
     return ws

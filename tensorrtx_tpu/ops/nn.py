@@ -428,6 +428,9 @@ def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
     [seg0(α0), seg0(α1), seg1(α0), …] so a downstream channel split is a
     segment-boundary slice. Pass the same tuple to `conv2d_s2dh` so bias /
     quant scales follow."""
+    from tensorrtx_tpu.ops import quant_ctx
+
+    quant_ctx.spy_weight(w)
     k = w.shape[0]
     assert w.shape[1] == k, "square kernels only"
     p = k // 2 if padding is None else padding
@@ -497,11 +500,10 @@ def conv2d_s2dh(xh: Array, w1, b: Optional[Array] = None,
                 perm.extend(a * co + olo + j for j in range(oseg))
             olo += oseg
         perm = jnp.asarray(perm)
-    if pb == pa == k // 2:
-        q = _maybe_quant_conv_s2d(xh, w1, b, (pb, pa), phases=2,
-                                  out_perm=perm)
-        if q is not None:
-            return q
+    q = _maybe_quant_conv_s2d(xh, w1, b, ((pb, pa), (k // 2, k // 2)),
+                              phases=2, out_perm=perm)
+    if q is not None:
+        return q
     xp = jnp.pad(xh, ((0, 0), (pb, pa), (k // 2, k // 2), (0, 0)))
     out = lax.conv_general_dilated(
         xp, w1.astype(xh.dtype), (1, 1), [(0, 0), (0, 0)],
@@ -521,6 +523,9 @@ def s2dh_exit_conv_weights(w: Array, padding: Optional[int] = None):
     Output row Y reads full-res rows 2Y+ky−p = 2(Y+t)+α, so ky = 2t+α+p.
     Returns (w1 (T, k, 2ci, co), (pad_before, pad_after)) for the block-row
     axis; H stride is 1 on block rows (≡ full-res stride 2), W stride 2."""
+    from tensorrtx_tpu.ops import quant_ctx
+
+    quant_ctx.spy_weight(w)
     k = w.shape[0]
     assert w.shape[1] == k, "square kernels only"
     p = k // 2 if padding is None else padding

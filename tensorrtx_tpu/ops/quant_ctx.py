@@ -18,6 +18,19 @@ from typing import List, Optional
 
 STATE: Optional["QuantState"] = None
 
+# When set (core/quant._conv_weights), conv-weight rearrangement builders
+# append the ORIGINAL HWIO weight here so phase-space convs (conv2d_s2dh /
+# conv2d_s2dh_exit inside model.apply) keep the same trace-order position
+# in the scale table as plain nn.conv2d calls.
+WEIGHT_SPY: Optional[List] = None
+
+
+def spy_weight(w) -> None:
+    if WEIGHT_SPY is not None:
+        import numpy as np
+
+        WEIGHT_SPY.append(np.asarray(w))
+
 
 class QuantState:
     def __init__(self, mode: str, act_scales=None, w_scales=None,
