@@ -27,3 +27,22 @@ def test_letterbox_mm_upscale(rng):
     a = np.asarray(letterbox(jnp.asarray(img), 20, 30, 64, 64))
     b = np.asarray(letterbox_mm(jnp.asarray(img), 20, 30, 64, 64))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_letterbox_s2d_banded_matches_dense(rng):
+    """The banded contractions in letterbox_s2d (dynamic source-band
+    slices) must equal the dense separable form exactly — tent weights
+    vanish outside the band, so only zero terms are dropped."""
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d
+
+    img = jnp.asarray(rng.integers(0, 256, (128, 128, 3)), jnp.uint8)
+    for (sh, sw) in [(128, 128), (96, 128), (128, 72), (33, 57), (128, 1)]:
+        for f in (2, 4):
+            out = np.asarray(letterbox_s2d(img, sh, sw, 128, 128, factor=f,
+                                           out_dtype=jnp.float32))
+            ref_full = np.asarray(letterbox_mm(
+                img.astype(jnp.float32), sh, sw, 128, 128))
+            rf = ref_full.reshape(128 // f, f, 128 // f, f, 3)
+            rf = rf.transpose(0, 2, 1, 3, 4).reshape(128 // f, 128 // f, -1)
+            np.testing.assert_allclose(out, rf, atol=1e-3,
+                                       err_msg=f"src {sh}x{sw} f{f}")
