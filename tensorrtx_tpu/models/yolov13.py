@@ -374,9 +374,30 @@ class _Shim:
 
 
 def apply(params, x, cfg: Yolov13Cfg):
-    edges = _hyperedges(cfg)
     y = B.conv_a(params["m0"], x, stride=2)
     y = B.conv_a(params["m1"], y, stride=2, groups=2)
+    return _apply_from_stem(params, y, cfg)
+
+
+def apply_s2d(params, x4, cfg: Yolov13Cfg):
+    """Fused-serving fast path from the 4×4 space-to-depth letterbox
+    tensor (models/yolo11.py apply_s2d rationale). m1 is a groups=2 conv:
+    it runs as its exact dense block-diagonal expansion so the s2d
+    rearrangement applies (ops/nn.dense_grouped_weights)."""
+    y1 = nn.silu(nn.conv2d_s2d4(
+        x4, nn.s2d4_conv_weights(params["m0"]["w"]), params["m0"]["b"]))
+    w1 = nn.dense_grouped_weights(params["m1"]["w"], 2)
+    y = nn.silu(nn.conv2d_s2d(
+        y1, nn.s2d_conv_weights(w1), params["m1"]["b"]))
+    return _apply_from_stem(params, y, cfg)
+
+
+apply_s2d.factor = 4
+apply_s2d.supports = lambda cfg: True
+
+
+def _apply_from_stem(params, y, cfg: Yolov13Cfg):
+    edges = _hyperedges(cfg)
     y = _dsc3k2_a(params["m2"], y)
     y = B.conv_a(params["m3"], y, stride=2, groups=4)
     c4 = _dsc3k2_a(params["m4"], y)
@@ -422,6 +443,7 @@ register(ModelDef(
     name="yolov13",
     build_params=build_params,
     apply=apply,
+    apply_s2d=apply_s2d,
     default_cfg=Yolov13Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     doc="YOLOv13 det, HyperACE hypergraph + area attention (reference: yolov13/)",

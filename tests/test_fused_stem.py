@@ -188,7 +188,8 @@ def test_yolov8_apply_s2d_matches_apply():
 
 @pytest.mark.parametrize("name", ["yolov9", "yolov9:t", "yolov10", "yolov12",
                                   "yolo26", "yolov7", "yolov4",
-                                  "scaled-yolov4", "yolov3", "yolov5-lite"])
+                                  "scaled-yolov4", "yolov3", "yolov5-lite",
+                                  "yolov13"])
 def test_detector_apply_s2d_matches_apply(name):
     from tensorrtx_tpu.core.random_weights import RandomWeightMap
     from tensorrtx_tpu.core.registry import get_model
