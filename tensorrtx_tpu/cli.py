@@ -284,6 +284,17 @@ def main(argv=None):
     d.add_argument("--set", action="append", metavar="KEY=VAL")
     d.set_defaults(fn=cmd_dump)
 
+    s2 = sub.add_parser(
+        "perf-sweep",
+        help="per-model latency sweep vs published TRT tables (→ PERF.md)")
+
+    def cmd_perf_sweep(_args):
+        from tensorrtx_tpu.tools.perf_sweep import main as sweep_main
+
+        return sweep_main() or 0
+
+    s2.set_defaults(fn=cmd_perf_sweep)
+
     args = ap.parse_args(argv)
     return args.fn(args) or 0
 
