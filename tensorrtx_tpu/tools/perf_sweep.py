@@ -56,6 +56,8 @@ CASES = [
      None, "no published number"),
     ("yolov3", {}, "bf16", 1,
      None, "no published number"),
+    ("yolov13", {}, "bf16", 1,
+     None, "no published number"),
 ]
 
 
