@@ -202,52 +202,14 @@ def letterbox_s2d(
     uu, vv = dst_h // f, dst_w // f
     gy = (wy.reshape(uu, f, H).transpose(1, 0, 2) * scale).astype(out_dtype)
     gx = wx.reshape(vv, f, W).transpose(1, 0, 2).astype(out_dtype)
-    # banded contractions: each bilinear output row reads ≤2 source rows,
-    # so an output row-tile of U block rows (f·U full-res rows) touches a
-    # contiguous source band of (f·U−1)/s_min+3 rows — slice the band
-    # (shared across the f phases) and contract only it. Exact: the tent
-    # weights vanish outside the band. Cuts the dense resize's
-    # dst·src MACs ~10× (the dense form was ~51 µs/img of a 364 µs
-    # batch-32 YOLO11n program).
-    s_min = min(dst_h / H, dst_w / W)
-
-    def banded(g, x_op, src_dyn_ax, dst_ax, src_static, n_src_axis):
-        # g (f, dst_ax/f, src_static); contract x_op's axis `n_src_axis`
-        nt = 16 if dst_ax % (16 * f) == 0 else 8
-        if dst_ax % (nt * f):
-            return None
-        U = dst_ax // f // nt
-        band = int((f * U - 1) / s_min) + 4
-        if band >= src_static:
-            return None
-        sc = jnp.asarray(s, jnp.float32)
-        outs = []
-        for t in range(nt):
-            r0 = f * (t * U)
-            src0 = (r0 - dst_ax * 0.5) / sc + src_dyn_ax * 0.5 + 0.5
-            o = jnp.clip(jnp.floor(src0).astype(jnp.int32) - 1, 0,
-                         src_static - band)
-            gt = jax.lax.dynamic_slice(g, (0, t * U, o),
-                                       (f, U, band))
-            if n_src_axis == 0:                   # y pass: x_op (H, W, C)
-                xt = jax.lax.dynamic_slice(
-                    x_op, (o, 0, 0), (band, x_op.shape[1], x_op.shape[2]))
-                outs.append(jnp.einsum("auh,hwc->auwc", gt, xt,
-                                       precision=prec))
-            else:                                 # x pass: x_op (f,uu,W,C)
-                xt = jax.lax.dynamic_slice(
-                    x_op, (0, 0, o, 0),
-                    (x_op.shape[0], x_op.shape[1], band, x_op.shape[3]))
-                outs.append(jnp.einsum("bvw,auwc->uvabc", gt, xt,
-                                       precision=prec))
-        return jnp.concatenate(outs, axis=1)
-
-    t1 = banded(gy, imgf, src_h, dst_h, H, 0)
-    if t1 is None:
-        t1 = jnp.einsum("auh,hwc->auwc", gy, imgf, precision=prec)
-    p = banded(gx, t1, src_w, dst_w, W, 2)
-    if p is None:
-        p = jnp.einsum("bvw,auwc->uvabc", gx, t1, precision=prec)
+    # Dense separable contractions. A "banded" variant (16 output row-tiles,
+    # each dynamic-slicing only the source band its tent weights touch) was
+    # tried to cut the dst·src MACs ~10× — it measured WORSE on v5e: the
+    # traced band offsets become gathers under vmap and the 32 small
+    # einsums + concats cost ~150 µs/img of data formatting at batch 1
+    # (vs ~60 µs for the two dense einsums, which XLA fuses cleanly).
+    t1 = jnp.einsum("auh,hwc->auwc", gy, imgf, precision=prec)
+    p = jnp.einsum("bvw,auwc->uvabc", gx, t1, precision=prec)
     # border mass: samples outside the (traced) valid region pull
     # border_value; offset applies to every pixel
     bm = 1.0 - (rs_y.reshape(uu, f).transpose(1, 0)[:, None, :, None]

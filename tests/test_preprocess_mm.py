@@ -29,10 +29,10 @@ def test_letterbox_mm_upscale(rng):
     np.testing.assert_allclose(a, b, atol=2e-4)
 
 
-def test_letterbox_s2d_banded_matches_dense(rng):
-    """The banded contractions in letterbox_s2d (dynamic source-band
-    slices) must equal the dense separable form exactly — tent weights
-    vanish outside the band, so only zero terms are dropped."""
+def test_letterbox_s2d_matches_full_res_oracle(rng):
+    """letterbox_s2d (stacked parity-plane einsums) must equal letterbox_mm
+    followed by an explicit space-to-depth rearrange, across source sizes
+    and both s2d factors."""
     from tensorrtx_tpu.ops.preprocess import letterbox_s2d
 
     img = jnp.asarray(rng.integers(0, 256, (128, 128, 3)), jnp.uint8)
