@@ -335,6 +335,41 @@ def c3k2_down_a(p4, p5, x, shortcut=True):
     return c4, conv_a(p5, c4, stride=2)
 
 
+def c3_s2dh_a(p, xh, shortcut=True):
+    """c3_a / c3k_a on a row-phase tensor (B, H/2, W, 2C) — cv1/cv2 run in
+    parallel on x, bottlenecks chain on the cv1 branch, and the two-way
+    concat is a whole-segment append handled by cv3's in_segments weight
+    permutation. Numerically identical to c3_a modulo dot order; quant
+    -context order matches c3_a (cv1, cv2, m…, cv3)."""
+    c_ = p["cv1"]["w"].shape[-1]
+    y1 = conv_s2dh_a(p["cv1"], xh)
+    y2 = conv_s2dh_a(p["cv2"], xh)
+    for bp in p["m"]:
+        z = conv_s2dh_a(bp["cv1"], y1)
+        z = conv_s2dh_a(bp["cv2"], z)
+        y1 = y1 + z if (shortcut and y1.shape[-1] == z.shape[-1]) else z
+    cat = jnp.concatenate([y1, y2], axis=-1)
+    return conv_s2dh_a(p["cv3"], cat, in_segments=(c_, c_))
+
+
+def c3_down_a(p_c3, p_down, x, shortcut=True):
+    """The YOLOv5-family "C3 stage + stride-2 downsample" backbone motif
+    (m2+m3, m4+m5) — row-phase when it pays (see c3k2_down_a: C≤64 stage
+    convs at batch ≤8 fill only half the MXU lanes, and the 16-ch P2
+    bottleneck convs ping-pong ~100 µs/img of layout copies at batch 1).
+    Returns (c_stage, down); numerically identical to (c3_a, conv_a
+    stride-2) modulo dot order. The planar c_stage return is dead code XLA
+    eliminates unless the caller uses it (the neck taps m4, not m2)."""
+    if (x.shape[1] % 2 == 0 and x.shape[0] <= 8
+            and p_down["w"].shape[0] % 2 == 1):
+        ch = c3_s2dh_a(p_c3, nn.space_to_depth_h(x), shortcut=shortcut)
+        down = nn.silu(nn.conv2d_s2dh_exit(
+            ch, nn.s2dh_exit_conv_weights(p_down["w"]), p_down["b"]))
+        return nn.depth_to_space_h(ch), down
+    c = c3_a(p_c3, x, shortcut=shortcut)
+    return c, conv_a(p_down, c, stride=2)
+
+
 def c3k2_is_plain(p) -> bool:
     """True when every sub-block is a plain bottleneck (no C3k)."""
     return all("cv3" not in b for b in p["m"])

@@ -152,10 +152,11 @@ apply_s2d.supports = lambda cfg: cfg.task != "cls"
 
 
 def _apply_from_x1(params, x1, cfg: Yolov5Cfg):
-    y = B.c3_a(params["m2"], x1, shortcut=True)
-    y = B.conv_a(params["m3"], y, stride=2)
-    c4 = B.c3_a(params["m4"], y, shortcut=True)
-    y = B.conv_a(params["m5"], c4, stride=2)
+    # P2/P3 stages ride the row-phase motif (see _yolo_blocks.c3_down_a):
+    # at batch ≤8 the C≤64 convs at the two largest grids fill only half
+    # the MXU lanes and their split/concat layout copies dominate
+    _, y = B.c3_down_a(params["m2"], params["m3"], x1, shortcut=True)
+    c4, y = B.c3_down_a(params["m4"], params["m5"], y, shortcut=True)
     c6 = B.c3_a(params["m6"], y, shortcut=True)
     y = B.conv_a(params["m7"], c6, stride=2)
     y = B.c3_a(params["m8"], y, shortcut=True)
