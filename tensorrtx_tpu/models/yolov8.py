@@ -271,10 +271,9 @@ def _apply_p2(params, x, cfg):
 def _apply_5u_backbone(params, x):
     y = B.conv_a(params["m0"], x, stride=2, pad=2)
     y = B.conv_a(params["m1"], y, stride=2)
-    y = B.c3_a(params["m2"], y, shortcut=True)
-    y = B.conv_a(params["m3"], y, stride=2)
-    c4 = B.c3_a(params["m4"], y, shortcut=True)
-    y = B.conv_a(params["m5"], c4, stride=2)
+    # P2/P3 C3 stages ride the row-phase motif (_yolo_blocks.c3_down_a)
+    _, y = B.c3_down_a(params["m2"], params["m3"], y, shortcut=True)
+    c4, y = B.c3_down_a(params["m4"], params["m5"], y, shortcut=True)
     c6 = B.c3_a(params["m6"], y, shortcut=True)
     y = B.conv_a(params["m7"], c6, stride=2)
     y = B.c3_a(params["m8"], y, shortcut=True)
