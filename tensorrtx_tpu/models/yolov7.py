@@ -133,6 +133,33 @@ def _elan_a(ep, x, full_concat):
     return jnp.concatenate(feats, axis=-1)
 
 
+def _elan_mp_s2dh_a(ep, f11p, mpp, x):
+    """Backbone ELAN + 1×1 transition + MP downsample evaluated in
+    row-phase space (B, H/2, W, 2C) — the P2-grid 64-ch convs fill only
+    half the MXU lanes planar (see _yolo_blocks.c3_down_a rationale).
+    The 4-way concat is whole-segment (in_segments on the transition
+    conv); the MP block exits phase space for free (maxpool2_s2dh +
+    s2dh_exit stride-2 conv). Numerically identical to
+    conv_a(f11, _elan_a(ep, x, False)) → _mp_a(mpp, ·) modulo dot
+    order; quant-context order matches the planar path."""
+    xh = nn.space_to_depth_h(x)
+    a = B.conv_s2dh_a(ep["a"], xh)
+    b = B.conv_s2dh_a(ep["b"], xh)
+    y = b
+    outs = []
+    for cp in ep["chain"]:
+        y = B.conv_s2dh_a(cp, y)
+        outs.append(y)
+    c = ep["a"]["w"].shape[-1]
+    cat = jnp.concatenate([outs[3], outs[1], b, a], axis=-1)
+    fh = B.conv_s2dh_a(f11p, cat, in_segments=(c,) * 4)
+    y1 = B.conv_a(mpp["c1"], nn.maxpool2_s2dh(fh))
+    y2h = B.conv_s2dh_a(mpp["c2"], fh)
+    y2 = nn.silu(nn.conv2d_s2dh_exit(
+        y2h, nn.s2dh_exit_conv_weights(mpp["c3"]["w"]), mpp["c3"]["b"]))
+    return jnp.concatenate([y2, y1], axis=-1)
+
+
 def _mp_a(mp, x, extra=None):
     y1 = B.conv_a(mp["c1"], nn.max_pool(x, 2, 2))
     y2 = B.conv_a(mp["c3"], B.conv_a(mp["c2"], x), stride=2)
@@ -176,9 +203,14 @@ apply_s2d.factor = 2
 def _apply_from_c1(params, y, cfg: Yolov7Cfg):
     y = B.conv_a(params["c2"], y)
     y = B.conv_a(params["c3"], y, stride=2)
-    y = B.conv_a(params["f11"], _elan_a(params["e4"], y, False))
-    y = B.conv_a(params["f24"], _elan_a(params["e17"],
-                                        _mp_a(params["mp12"], y), False))
+    if y.shape[0] <= 8 and y.shape[1] % 2 == 0:
+        # P2 ELAN + transition + MP in row-phase space (batch-gated like
+        # the other row-phase motifs: at b32 the relayouts eat the win)
+        y = _elan_mp_s2dh_a(params["e4"], params["f11"], params["mp12"], y)
+    else:
+        y = B.conv_a(params["f11"], _elan_a(params["e4"], y, False))
+        y = _mp_a(params["mp12"], y)
+    y = B.conv_a(params["f24"], _elan_a(params["e17"], y, False))
     c24 = y                                             # P3 lateral (1/8)
     y = B.conv_a(params["f37"], _elan_a(params["e30"],
                                         _mp_a(params["mp25"], y), False))
