@@ -203,7 +203,7 @@ apply_s2d.factor = 2
 def _apply_from_c1(params, y, cfg: Yolov7Cfg):
     y = B.conv_a(params["c2"], y)
     y = B.conv_a(params["c3"], y, stride=2)
-    if y.shape[0] <= 8 and y.shape[1] % 2 == 0:
+    if y.shape[0] <= 8 and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0:
         # P2 ELAN + transition + MP in row-phase space (batch-gated like
         # the other row-phase motifs: at b32 the relayouts eat the win)
         y = _elan_mp_s2dh_a(params["e4"], params["f11"], params["mp12"], y)

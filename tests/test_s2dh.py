@@ -117,6 +117,58 @@ def test_c3k2_down_a_matches_plain(rng):
                                   np.asarray(B.c3k2_a(p4, xb)[0]))
 
 
+@pytest.mark.fast
+def test_c3_down_a_matches_plain(rng):
+    """YOLOv5-family C3+downsample motif: both gate branches vs the planar
+    composition (ADVICE r3 — the batch>8 planar branch was untested)."""
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.models import _yolo_blocks as B
+
+    wm = RandomWeightMap(seed=5)
+    p_c3 = B.c3_p(wm, "m2", 32, 64, 2)
+    p_dn = B.conv_p(wm, "m3", 64, 64, 3)
+    p_c3 = jax.tree.map(jnp.asarray, p_c3)
+    p_dn = jax.tree.map(jnp.asarray, p_dn)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 12, 32)), jnp.float32)
+    ref_c = B.c3_a(p_c3, x)
+    ref_d = B.conv_a(p_dn, ref_c, stride=2)
+    c, d = B.c3_down_a(p_c3, p_dn, x)            # row-phase branch (b=1)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d),
+                               rtol=2e-5, atol=2e-4)
+    xb = jnp.tile(x, (9, 1, 1, 1))               # planar branch (b=9)
+    cb, db = B.c3_down_a(p_c3, p_dn, xb)
+    np.testing.assert_array_equal(np.asarray(cb[0]),
+                                  np.asarray(B.c3_a(p_c3, xb)[0]))
+    np.testing.assert_array_equal(
+        np.asarray(db[0]),
+        np.asarray(B.conv_a(p_dn, B.c3_a(p_c3, xb), stride=2)[0]))
+
+
+@pytest.mark.fast
+def test_yolov7_elan_mp_s2dh_matches_plain(rng):
+    """yolov7 backbone ELAN + transition + MP in row-phase space vs the
+    planar composition, both gate branches (ADVICE r3)."""
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.models import yolov7 as Y
+    from tensorrtx_tpu.models import _yolo_blocks as B
+
+    wm = RandomWeightMap(seed=7)
+    ep = jax.tree.map(jnp.asarray, Y._elan_p(wm, 4, 24, 16, 16))
+    f11p = jax.tree.map(jnp.asarray, Y._cv(wm, 11, 64, 32, 1))
+    mpp = jax.tree.map(jnp.asarray, Y._mp_p(wm, 12, 32, 16))
+
+    def planar(x):
+        y = B.conv_a(f11p, Y._elan_a(ep, x, False))
+        return Y._mp_a(mpp, y)
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 12, 24)), jnp.float32)
+    got = Y._elan_mp_s2dh_a(ep, f11p, mpp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(planar(x)),
+                               rtol=2e-5, atol=2e-4)
+
+
 def test_dense_grouped_weights(rng):
     x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 12)), jnp.float32)
     w = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 8)), jnp.float32)  # g=4
