@@ -255,11 +255,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_ppocr)
 
     g = sub.add_parser(
-        "gen-wts", help="checkpoint (.pt/.pth/.npz/paddle dir) → .wts (≙ gen_wts.py)")
+        "gen-wts", help="checkpoint (.pt/.pth/.npz/paddle dir/mxnet .params/"
+        "TF ckpt) → .wts (≙ gen_wts.py)")
     g.add_argument("-w", "--weights", required=True)
     g.add_argument("-o", "--output", required=True)
     g.add_argument("--format", default="auto",
-               choices=["auto", "torch", "npz", "paddle"])
+               choices=["auto", "torch", "npz", "paddle", "mxnet", "tf"])
     g.add_argument("--exclude", default="")
     g.add_argument("--strip-prefix", default="")
 

@@ -10,6 +10,11 @@ Supported inputs:
   - Paddle inference dirs (inference.json/.pdmodel + .pdiparams): parsed
     natively with numpy — no paddle wheel needed (tools/paddle_reader.py;
     reference analog ppocrv5/gen_wts.py:71-80 which requires paddle).
+  - MXNet .params NDArray bundles (insightface/arcface — reference
+    arcface/gen_wts.py:4): parsed natively, arg:/aux: prefixes stripped
+    (tools/mxnet_reader.py).
+  - TF checkpoint-V2 bundles (<ckpt>.index + .data-* — reference
+    psenet/gen_tf_wts.py:2): parsed natively (tools/tf_reader.py).
   - .npz archives (name → array): the universal escape hatch for frameworks
     we can't import here.
 
@@ -76,6 +81,10 @@ def extract_tensors(path: str, fmt: str = "auto") -> Dict[str, np.ndarray]:
     if fmt == "auto":
         if path.endswith(".npz"):
             fmt = "npz"
+        elif path.endswith(".params"):
+            fmt = "mxnet"
+        elif path.endswith(".index") or _is_tf_ckpt(path):
+            fmt = "tf"
         elif os.path.isdir(path) or path.endswith(".pdiparams"):
             fmt = "paddle"
         else:
@@ -89,7 +98,31 @@ def extract_tensors(path: str, fmt: str = "auto") -> Dict[str, np.ndarray]:
 
         return {k: np.asarray(v, np.float32)
                 for k, v in read_paddle_dir(path).items()}
-    raise ValueError(f"unknown format {fmt!r} (use torch|npz|paddle)")
+    if fmt == "mxnet":
+        # insightface/arcface .params bundles (ref arcface/gen_wts.py:4)
+        from tensorrtx_tpu.tools.mxnet_reader import read_mxnet_params
+
+        return {k: np.asarray(v, np.float32)
+                for k, v in read_mxnet_params(path).items()}
+    if fmt == "tf":
+        # TF checkpoint-V2 bundles (ref psenet/gen_tf_wts.py:2-9). Names and
+        # layouts pass through unchanged: our TF-family builders (psenet)
+        # consume HWIO conv weights directly — no OIHW transpose needed.
+        from tensorrtx_tpu.tools.tf_reader import read_tf_checkpoint
+
+        return {k: np.asarray(v, np.float32)
+                for k, v in read_tf_checkpoint(path).items()}
+    raise ValueError(
+        f"unknown format {fmt!r} (use torch|npz|paddle|mxnet|tf)")
+
+
+def _is_tf_ckpt(path: str) -> bool:
+    from tensorrtx_tpu.tools.tf_reader import looks_like_tf_checkpoint
+
+    try:
+        return looks_like_tf_checkpoint(path)
+    except OSError:
+        return False
 
 
 def convert(input_path: str, output_path: str, fmt: str = "auto",
@@ -117,7 +150,7 @@ def main(argv=None):
     ap.add_argument("-w", "--weights", required=True, help="input checkpoint")
     ap.add_argument("-o", "--output", required=True, help="output .wts path")
     ap.add_argument("--format", default="auto",
-                    choices=["auto", "torch", "npz", "paddle"])
+                    choices=["auto", "torch", "npz", "paddle", "mxnet", "tf"])
     ap.add_argument("--exclude", default="",
                     help="regex of tensor names to drop")
     ap.add_argument("--strip-prefix", default="",
