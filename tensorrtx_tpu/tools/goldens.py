@@ -91,6 +91,36 @@ OVERRIDES = {
 }
 
 
+# Variant matrix: the task/scale combos the reference ships per model
+# (yolov8 cls/pose/obb/p2/5u, yolov5 cls/seg, yolo26 cls/obb, yolov9 t/s/m,
+# yolov12 cls/seg, yolov10 NMS-free, yolov3-tiny). Digest keys are
+# "<model>@<variant>"; tests/test_detector_matrix.py checks each against
+# the committed golden so no variant passes on shapes alone.
+MATRIX = {
+    "yolov8@cls": ("yolov8", {"task": "cls", "input_h": 224, "input_w": 224}),
+    "yolov5@cls": ("yolov5", {"task": "cls", "input_h": 224, "input_w": 224}),
+    "yolo26@cls": ("yolo26", {"task": "cls", "input_h": 224, "input_w": 224}),
+    "yolov12@cls": ("yolov12",
+                    {"task": "cls", "input_h": 256, "input_w": 256}),
+    "yolov10@det320": ("yolov10", {"input_h": 320, "input_w": 320}),
+    "yolov3-tiny@det416": ("yolov3-tiny", {"input_h": 416, "input_w": 416}),
+    "yolov8@p2": ("yolov8",
+                  {"variant": "p2", "input_h": 320, "input_w": 320}),
+    "yolov8@5u": ("yolov8",
+                  {"variant": "5u", "input_h": 320, "input_w": 320}),
+    "yolov9@t": ("yolov9", {"scale": "t", "input_h": 320, "input_w": 320}),
+    "yolov9@s": ("yolov9", {"scale": "s", "input_h": 320, "input_w": 320}),
+    "yolov9@m": ("yolov9", {"scale": "m", "input_h": 320, "input_w": 320}),
+    "yolov8@pose": ("yolov8",
+                    {"task": "pose", "input_h": 320, "input_w": 320}),
+    "yolov8@obb": ("yolov8", {"task": "obb", "input_h": 320, "input_w": 320}),
+    "yolo26@obb": ("yolo26", {"task": "obb", "input_h": 320, "input_w": 320}),
+    "yolov5@seg": ("yolov5", {"task": "seg", "input_h": 320, "input_w": 320}),
+    "yolov12@seg": ("yolov12",
+                    {"task": "seg", "input_h": 320, "input_w": 320}),
+}
+
+
 def _leaf_digest(path, arr):
     a = np.asarray(arr, np.float64).ravel()
     if a.size == 0:
@@ -116,8 +146,12 @@ def compute_golden(name: str):
     from tensorrtx_tpu.core.random_weights import RandomWeightMap
     from tensorrtx_tpu.core.registry import get_model
 
-    model = get_model(name)
-    cfg = dataclasses.replace(model.default_cfg(), **OVERRIDES.get(name, {}))
+    if "@" in name:
+        model_name, over = MATRIX[name]
+    else:
+        model_name, over = name, OVERRIDES.get(name, {})
+    model = get_model(model_name)
+    cfg = dataclasses.replace(model.default_cfg(), **over)
     params = jax.tree.map(jnp.asarray,
                           model.build_params(RandomWeightMap(seed=0), cfg))
     h, w, c = model.input_shape(cfg)
@@ -129,6 +163,23 @@ def compute_golden(name: str):
     leaves = jax.tree.leaves_with_path(out)
     return {jax.tree_util.keystr(path): _leaf_digest(path, leaf)
             for path, leaf in leaves}
+
+
+def assert_matches(got: dict, exp: dict, ctx: str = "") -> None:
+    """Digest-vs-golden comparison shared by the golden and matrix tests.
+
+    Tolerances absorb XLA CPU fusion-order noise across jax versions while
+    still catching any real numerics change (a weight-order or decode bug
+    shifts mean/std by orders of magnitude more)."""
+    assert set(got) == set(exp), (ctx, set(got) ^ set(exp))
+    for key, g in got.items():
+        e = exp[key]
+        assert g["shape"] == e["shape"], (ctx, key, g["shape"], e["shape"])
+        scale = max(abs(e["mean"]) + e["std"], 1e-3)
+        assert abs(g["mean"] - e["mean"]) < 2e-3 * scale + 1e-5, (ctx, key)
+        assert abs(g["std"] - e["std"]) < 2e-3 * scale + 1e-5, (ctx, key)
+        for a, b in zip(g["sample"], e["sample"]):
+            assert abs(a - b) < 5e-3 * scale + 1e-4, (ctx, key, a, b)
 
 
 def main(argv=None):
@@ -144,7 +195,7 @@ def main(argv=None):
     jax.config.update("jax_platforms", "cpu")
     from tensorrtx_tpu.core.registry import list_models
 
-    names = (argv or sys.argv[1:]) or list_models()
+    names = (argv or sys.argv[1:]) or (list_models() + sorted(MATRIX))
     goldens = {}
     if os.path.exists(GOLDEN_PATH):
         goldens = json.load(open(GOLDEN_PATH))

@@ -12,7 +12,8 @@ import os
 import numpy as np
 import pytest
 
-from tensorrtx_tpu.tools.goldens import GOLDEN_PATH, compute_golden
+from tensorrtx_tpu.tools.goldens import (GOLDEN_PATH, assert_matches,
+                                         compute_golden)
 
 # quick models guard the fast CI tier; the rest run in the full suite
 FAST = ["lenet", "mlp", "squeezenet", "shufflenetv2", "crnn", "lprnet",
@@ -29,23 +30,14 @@ def _check(name):
     goldens = _load()
     if name not in goldens:
         pytest.skip(f"no golden recorded for {name}")
-    got = compute_golden(name)
-    exp = goldens[name]
-    assert set(got) == set(exp), (set(got) ^ set(exp))
-    for key, g in got.items():
-        e = exp[key]
-        assert g["shape"] == e["shape"], (name, key, g["shape"], e["shape"])
-        scale = max(abs(e["mean"]) + e["std"], 1e-3)
-        assert abs(g["mean"] - e["mean"]) < 2e-3 * scale + 1e-5, (name, key)
-        assert abs(g["std"] - e["std"]) < 2e-3 * scale + 1e-5, (name, key)
-        for a, b in zip(g["sample"], e["sample"]):
-            assert abs(a - b) < 5e-3 * scale + 1e-4, (name, key, a, b)
+    assert_matches(compute_golden(name), goldens[name], ctx=name)
 
 
 def _all_names():
     if not os.path.exists(GOLDEN_PATH):
         return FAST
-    return sorted(json.load(open(GOLDEN_PATH)))
+    # "@" keys are variant-matrix digests, checked by test_detector_matrix
+    return sorted(k for k in json.load(open(GOLDEN_PATH)) if "@" not in k)
 
 
 @pytest.mark.fast
