@@ -285,6 +285,28 @@ def main(argv=None):
     d.add_argument("--set", action="append", metavar="KEY=VAL")
     d.set_defaults(fn=cmd_dump)
 
+    sm = sub.add_parser(
+        "smoke", help="compile+run EVERY registered model on the device "
+        "(≙ the reference's per-model `-d` acceptance step); writes "
+        "TPU_SMOKE.md/.jsonl at the repo root")
+    sm.add_argument("--only", nargs="*", default=None)
+    sm.add_argument("--resume", action="store_true")
+    sm.add_argument("--report", action="store_true")
+
+    def cmd_smoke(args):
+        from tensorrtx_tpu.tools.tpu_smoke import main as smoke_main
+
+        argv2 = []
+        if args.only:
+            argv2 += ["--only", *args.only]
+        if args.resume:
+            argv2.append("--resume")
+        if args.report:
+            argv2.append("--report")
+        return smoke_main(argv2)
+
+    sm.set_defaults(fn=cmd_smoke)
+
     s2 = sub.add_parser(
         "perf-sweep",
         help="per-model latency sweep vs published TRT tables (→ PERF.md)")

@@ -131,21 +131,26 @@ class ServingPipeline:
             frames[i, :h, :w] = im
             src_hw[i] = (h, w)
         out = self(frames, src_hw)
-        results = []
-        cfg = self.engine.cfg
-        boxes = np.asarray(out["boxes"]) if isinstance(out, dict) else np.asarray(out.boxes)
-        d = out if isinstance(out, dict) else out.as_dict()
-        for i in range(b):
-            n = int(d["count"][i])
-            bx = np.asarray(scale_boxes_back(
-                jnp.asarray(d["boxes"][i][:n]), src_hw[i, 0], src_hw[i, 1],
-                cfg.input_h, cfg.input_w))
-            results.append({
-                "boxes": bx,
-                "scores": np.asarray(d["scores"][i][:n]),
-                "classes": np.asarray(d["classes"][i][:n]),
-            })
-        return results
+        return present_detections(out, src_hw, self.engine.cfg)[:b]
+
+
+def present_detections(out, src_hw, cfg):
+    """Detection buffer (boxes/scores/classes/count) → per-image host dicts
+    with boxes mapped back to original pixel coords. Shared by
+    ServingPipeline.detect_images and the mesh serving path (parallel/)."""
+    d = out if isinstance(out, dict) else out.as_dict()
+    results = []
+    for i in range(np.asarray(d["count"]).shape[0]):
+        n = int(d["count"][i])
+        bx = np.asarray(scale_boxes_back(
+            jnp.asarray(d["boxes"][i][:n]), src_hw[i, 0], src_hw[i, 1],
+            cfg.input_h, cfg.input_w))
+        results.append({
+            "boxes": bx,
+            "scores": np.asarray(d["scores"][i][:n]),
+            "classes": np.asarray(d["classes"][i][:n]),
+        })
+    return results
 
 
 def load_image(path: str) -> np.ndarray:

@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_engine", "sharded_serving_step",
-           "spatial_sharded_apply"]
+           "spatial_sharded_apply", "sharding_report", "MeshServingPipeline"]
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
@@ -62,6 +62,34 @@ def shard_engine(engine, mesh: Mesh):
             leaf, NamedSharding(mesh, _tp_spec(leaf, tp))),
         engine.params,
     )
+
+
+def sharding_report(params, mesh: Mesh) -> dict:
+    """Sharded-vs-replicated param accounting, so silent full replication is
+    visible: a channel dim not divisible by tp quietly replicates its leaf
+    (_tp_spec), which on a real mesh would look like 'tp works, no speedup'.
+    Returns byte/leaf fractions; emitted to the log by shard_engine."""
+    tp = mesh.shape.get("tp", 1)
+    sharded_b = repl_b = 0
+    n_sharded = n_total = 0
+    for leaf in jax.tree.leaves(params):
+        nbytes = int(np.prod(leaf.shape)) * jnp.dtype(leaf.dtype).itemsize
+        n_total += 1
+        spec = getattr(leaf, "sharding", None)
+        is_sharded = (spec is not None
+                      and getattr(spec, "spec", P()) != P()
+                      and any(spec.spec))
+        if is_sharded:
+            sharded_b += nbytes
+            n_sharded += 1
+        else:
+            repl_b += nbytes
+    total_b = sharded_b + repl_b
+    return {
+        "tp": int(tp), "n_leaves": n_total, "n_sharded": n_sharded,
+        "bytes_sharded": sharded_b, "bytes_replicated": repl_b,
+        "frac_bytes_sharded": round(sharded_b / max(total_b, 1), 4),
+    }
 
 
 def sharded_serving_step(engine, mesh: Mesh, src_h: int, src_w: int,
