@@ -91,7 +91,12 @@ def cmd_run(args):
         return 1
     imgs = [load_image(f) for f in files]
     task = task_for(eng.model.name)
+    dp, tp, pp = (getattr(args, k, 1) or 1 for k in ("dp", "tp", "pp"))
     t0 = time.perf_counter()
+    if pp > 1:
+        return _run_gpipe(eng, files, imgs, task, pp, t0)
+    if dp * tp > 1:
+        return _run_mesh(eng, files, imgs, task, dp, tp, args.batch, t0)
     if task == "detect":
         max_h = max(i.shape[0] for i in imgs)
         max_w = max(i.shape[1] for i in imgs)
@@ -111,6 +116,86 @@ def cmd_run(args):
             print(json.dumps({"image": f, **out}, ensure_ascii=False))
     dt = time.perf_counter() - t0
     print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms", file=sys.stderr)
+    return 0
+
+
+def _print_dets(f, r):
+    dets = [{"box": [round(float(v), 1) for v in b],
+             "score": round(float(s), 3), "class": int(c)}
+            for b, s, c in zip(r["boxes"], r["scores"], r["classes"])]
+    print(json.dumps({"image": f, "detections": dets}))
+
+
+def _run_mesh(eng, files, imgs, task, dp, tp, batch, t0):
+    """`cli run --dp/--tp`: one GSPMD serving program over a device mesh —
+    the TPU answer to the reference's per-GPU engine copies
+    (tutorials/multi_GPU_processing.md:13-30)."""
+    import jax
+
+    from tensorrtx_tpu.parallel import MeshServingPipeline, make_mesh
+
+    if task != "detect":
+        print(f"--dp/--tp serve detection engines; {eng.model.name} is "
+              f"task={task} (use the library API parallel.* for other "
+              "tasks)", file=sys.stderr)
+        return 1
+    n = dp * tp
+    if len(jax.devices()) < n:
+        print(f"dp*tp={n} but only {len(jax.devices())} devices visible "
+              "(for a virtual mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+              f"--xla_force_host_platform_device_count={n})",
+              file=sys.stderr)
+        return 1
+    mesh = make_mesh(n, dp=dp, tp=tp)
+    max_h = max(i.shape[0] for i in imgs)
+    max_w = max(i.shape[1] for i in imgs)
+    pipe = MeshServingPipeline(eng, mesh, src_h=max_h, src_w=max_w)
+    step = max(batch, dp)
+    for i in range(0, len(imgs), step):
+        res = pipe.detect_images(imgs[i:i + step])
+        for f, r in zip(files[i:i + step], res):
+            _print_dets(f, r)
+    dt = time.perf_counter() - t0
+    print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms on dp={dp} tp={tp}",
+          file=sys.stderr)
+    return 0
+
+
+def _run_gpipe(eng, files, imgs, task, pp, t0):
+    """`cli run --pp`: GPipe stage-per-chip inference for uniform-block
+    models (parallel/gpipe.gpipe_serving_step)."""
+    import numpy as np
+
+    import jax
+
+    from tensorrtx_tpu.core.tasks import PREPROCESS, PRESENT
+
+    if len(jax.devices()) < pp:
+        print(f"pp={pp} but only {len(jax.devices())} devices visible "
+              "(for a virtual mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+              f"--xla_force_host_platform_device_count={pp})",
+              file=sys.stderr)
+        return 1
+    from jax.sharding import Mesh
+
+    from tensorrtx_tpu.parallel.gpipe import gpipe_serving_step
+
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+    gstep = gpipe_serving_step(eng, mesh)  # raises if no gpipe_split
+    pre = PREPROCESS[task]
+    present = PRESENT[task]
+    xs, metas = [], []
+    for img in imgs:
+        x, meta = pre(img, eng.model, eng.cfg)
+        xs.append(np.asarray(x)[0])
+        metas.append(meta)
+    out = np.asarray(gstep(np.stack(xs)))
+    for f, meta, i in zip(files, metas, range(len(imgs))):
+        res = present(out[i:i + 1], eng.cfg, meta)
+        print(json.dumps({"image": f, **res}, ensure_ascii=False))
+    dt = time.perf_counter() - t0
+    print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms on pp={pp}",
+          file=sys.stderr)
     return 0
 
 
@@ -237,6 +322,16 @@ def main(argv=None):
     r.add_argument("engine")
     r.add_argument("image_dir")
     r.add_argument("--batch", type=int, default=1)
+    r.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis: frames batch-sharded over "
+                   "dp chips (≙ the reference's one-engine-per-GPU recipe, "
+                   "as one GSPMD program)")
+    r.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis: weights channel-sharded "
+                   "over tp chips (a sharding report is logged)")
+    r.add_argument("--pp", type=int, default=1,
+                   help="GPipe pipeline stages for uniform-block models "
+                   "(vit): one encoder stage per chip")
     r.set_defaults(fn=cmd_run)
 
     l = sub.add_parser("list", help="list registered models")

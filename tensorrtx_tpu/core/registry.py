@@ -27,6 +27,10 @@ class ModelDef:
     # parity tensor emitted by ops.preprocess.letterbox_s2d (same numerics,
     # skips the batch-1 small-channel stride-2 first-conv relayout pathology)
     apply_s2d: Optional[Callable[..., Any]] = None
+    # optional GPipe split for uniform-block models (transformer encoders):
+    # (params, cfg, n_stages) -> (pre_fn, stage_fn, stacked_stage_params,
+    # post_fn) consumed by parallel.gpipe.gpipe_serving_step / cli run --pp
+    gpipe_split: Optional[Callable[..., Any]] = None
     doc: str = ""
 
 

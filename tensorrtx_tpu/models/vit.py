@@ -117,11 +117,47 @@ def block_a(blk, y, heads):
     return y + nn.linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
 
 
+def gpipe_split(params, cfg: "ViTCfg", n_stages: int):
+    """Split the encoder stack into n_stages GPipe stages
+    (parallel/gpipe.gpipe_apply): patch embed runs replicated (pre),
+    each stage scans its contiguous group of blocks, final LN + head run
+    replicated (post). Numerically identical to apply()."""
+    depth = len(params["blocks"])
+    if depth % n_stages:
+        raise ValueError(f"vit depth {depth} not divisible by pp={n_stages}")
+    g = depth // n_stages
+    blocks = params["blocks"]
+    per_stage = [jax.tree.map(lambda *bs: jnp.stack(bs),
+                              *blocks[s * g:(s + 1) * g])
+                 for s in range(n_stages)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *per_stage)
+
+    def pre(p, x):
+        y = nn.conv2d(x, p["patch_w"], p["patch_b"], stride=cfg.patch)
+        b = y.shape[0]
+        y = y.reshape(b, -1, cfg.hidden)
+        cls = jnp.broadcast_to(p["cls"].astype(y.dtype), (b, 1, cfg.hidden))
+        return jnp.concatenate([cls, y], axis=1) + p["pos"].astype(y.dtype)
+
+    def stage_fn(sp, y):
+        def body(carry, blk):
+            return block_a(blk, carry, cfg.heads), None
+        y, _ = jax.lax.scan(body, y, sp)
+        return y
+
+    def post(p, y):
+        y = nn.layer_norm(y, p["final_ln"]["g"], p["final_ln"]["b"], LN_EPS)
+        return nn.linear(y[:, 0], p["head"]["w"], p["head"]["b"])
+
+    return pre, stage_fn, stacked, post
+
+
 register(ModelDef(
     name="vit",
     build_params=build_params,
     apply=apply,
     default_cfg=ViTCfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
+    gpipe_split=gpipe_split,
     doc="ViT-B/16 classifier (reference: vit/)",
 ))

@@ -1,9 +1,13 @@
-from tensorrtx_tpu.parallel.gpipe import gpipe_apply, shard_stage_params
+from tensorrtx_tpu.parallel.gpipe import (gpipe_apply, gpipe_serving_step,
+                                          shard_stage_params)
 from tensorrtx_tpu.parallel.pipeline import EnginePipeline, split_devices
-from tensorrtx_tpu.parallel.sharding import (make_mesh, shard_engine,
+from tensorrtx_tpu.parallel.sharding import (MeshServingPipeline, make_mesh,
+                                             shard_engine,
                                              sharded_serving_step,
+                                             sharding_report,
                                              spatial_sharded_apply)
 
 __all__ = ["make_mesh", "shard_engine", "sharded_serving_step",
-           "spatial_sharded_apply", "EnginePipeline", "split_devices",
-           "gpipe_apply", "shard_stage_params"]
+           "spatial_sharded_apply", "sharding_report", "MeshServingPipeline",
+           "EnginePipeline", "split_devices",
+           "gpipe_apply", "gpipe_serving_step", "shard_stage_params"]

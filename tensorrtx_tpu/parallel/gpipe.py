@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["gpipe_apply", "gpipe_apply_hetero", "shard_stage_params"]
+__all__ = ["gpipe_apply", "gpipe_apply_hetero", "shard_stage_params",
+           "gpipe_serving_step"]
 
 
 def shard_stage_params(params_stacked, mesh: Mesh, axis: str = "pp"):
@@ -93,6 +94,36 @@ def gpipe_apply(stage_fn: Callable, mesh: Mesh, axis: str = "pp"):
             out_specs=P())(params_stacked, xs)
 
     return jax.jit(fn)
+
+
+def gpipe_serving_step(engine, mesh: Mesh, axis: str = "pp"):
+    """User-facing GPipe inference for models exposing a `gpipe_split`
+    (registry hook): pre/post run replicated, the uniform block stack is
+    pipelined one stage per device (`cli run --pp N`).
+
+    Returns step(x_nhwc) — jitted, batch = n_micro microbatches of 1 —
+    numerically identical to engine.model.apply.
+    """
+    split = getattr(engine.model, "gpipe_split", None)
+    if split is None:
+        raise ValueError(
+            f"{engine.model.name} has no homogeneous stage split; "
+            "--pp supports transformer-encoder models (vit)")
+    n_stages = mesh.shape[axis]
+    pre, stage_fn, stacked, post = split(engine.params, engine.cfg, n_stages)
+    stacked = shard_stage_params(stacked, mesh, axis)
+    pipe = gpipe_apply(stage_fn, mesh, axis)
+    params = engine.params
+
+    @jax.jit
+    def step(x):
+        y = pre(params, x)                       # (B, N, D), replicated
+        b = y.shape[0]
+        ys = y.reshape(b, 1, *y.shape[1:])       # n_micro=B, microbatch=1
+        out = pipe(stacked, ys).reshape(b, *y.shape[1:])
+        return post(params, out)
+
+    return step
 
 
 def gpipe_apply_hetero(stage_fns, stage_params, in_shapes, out_shape,

@@ -142,6 +142,59 @@ def sharded_serving_step(engine, mesh: Mesh, src_h: int, src_w: int,
     return jitted, params
 
 
+class MeshServingPipeline:
+    """Multi-chip detection serving: the mesh analog of
+    core.runner.ServingPipeline, exposed to users through
+    `cli run --dp N --tp N` (the reference's multi-GPU recipe,
+    tutorials/multi_GPU_processing.md:13-30, done as one GSPMD program
+    instead of per-GPU engine copies).
+
+    Frames are batch-sharded over `dp`; weights channel-sharded over `tp`
+    (shard_engine). detect_images pads the batch up to a dp multiple so
+    every chip receives equal work, then maps boxes back to source pixels.
+    """
+
+    def __init__(self, engine, mesh: Mesh, src_h: int, src_w: int,
+                 bgr_to_rgb: bool = False):
+        from tensorrtx_tpu.utils.logging import get_logger
+
+        self.engine = engine
+        self.mesh = mesh
+        self.src_h, self.src_w = src_h, src_w
+        self.dp = mesh.shape["dp"]
+        self._step, self._params = sharded_serving_step(
+            engine, mesh, src_h, src_w, bgr_to_rgb)
+        rep = sharding_report(self._params, mesh)
+        get_logger().info(
+            "mesh serving %s: dp=%d tp=%d — %d/%d param leaves sharded, "
+            "%.1f%% of bytes (replicated %.1f MiB/chip)",
+            engine.model.name, self.dp, rep["tp"], rep["n_sharded"],
+            rep["n_leaves"], 100 * rep["frac_bytes_sharded"],
+            rep["bytes_replicated"] / 2**20)
+        if rep["tp"] > 1 and rep["frac_bytes_sharded"] < 0.5:
+            get_logger().warning(
+                "tp=%d but only %.1f%% of param bytes sharded — most "
+                "channel dims don't divide tp; expect near-replicated "
+                "memory and little tp speedup", rep["tp"],
+                100 * rep["frac_bytes_sharded"])
+        self.report = rep
+
+    def detect_images(self, images):
+        from tensorrtx_tpu.core.runner import present_detections
+
+        b = len(images)
+        bb = -(-b // self.dp) * self.dp  # pad to a dp multiple
+        frames = np.zeros((bb, self.src_h, self.src_w, 3), np.uint8)
+        src_hw = np.ones((bb, 2), np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            frames[i, :h, :w] = im
+            src_hw[i] = (h, w)
+        out = self._step(self._params, jnp.asarray(frames, jnp.uint8),
+                         jnp.asarray(src_hw, jnp.int32))
+        return present_detections(out, src_hw, self.engine.cfg)[:b]
+
+
 def spatial_sharded_apply(engine, mesh: Mesh, axis: str = "sp"):
     """Spatial (sequence-parallel) inference: ONE oversized image sharded
     across chips along H.

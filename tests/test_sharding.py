@@ -218,3 +218,55 @@ def test_gpipe_hetero_conv_backbone_matches_sequential():
             y = stage(p, y)
         ref.append(np.asarray(y))
     np.testing.assert_allclose(got, np.stack(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_serving_pipeline_and_report(tmp_path):
+    """The `cli run --dp/--tp` surface: MeshServingPipeline must agree with
+    single-device detect_images, and the sharding report must expose the
+    sharded-vs-replicated param fraction."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    from tensorrtx_tpu.core.runner import ServingPipeline
+    from tensorrtx_tpu.parallel import MeshServingPipeline, make_mesh
+
+    eng = _tiny_engine()
+    mesh = make_mesh(4, dp=2, tp=2)
+    pipe = MeshServingPipeline(eng, mesh, src_h=96, src_w=96)
+    rep = pipe.report
+    assert rep["tp"] == 2 and 0.0 < rep["frac_bytes_sharded"] <= 1.0
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (80, 96, 3), np.uint8) for _ in range(3)]
+    got = pipe.detect_images(imgs)          # 3 images pad to dp multiple 4
+    ref = ServingPipeline(eng, src_h=96, src_w=96,
+                          donate=False).detect_images(imgs)
+    assert len(got) == 3
+    for g, r in zip(got, ref):
+        assert g["boxes"].shape == r["boxes"].shape
+        np.testing.assert_allclose(g["scores"], r["scores"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gpipe_serving_step_vit():
+    """The `cli run --pp` surface: pipelined ViT forward == plain apply."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tensorrtx_tpu.core.engine import Engine
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+    from tensorrtx_tpu.parallel import gpipe_serving_step
+
+    model = get_model("vit")
+    cfg = dataclasses.replace(model.default_cfg(), input_h=64, input_w=64,
+                              layers=4, hidden=64, heads=4, mlp=128)
+    params = model.build_params(RandomWeightMap(seed=0), cfg)
+    eng = Engine("vit", params, cfg, "fp32")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+    step = gpipe_serving_step(eng, mesh)
+    x = np.random.default_rng(0).normal(0, 1, (2, 64, 64, 3)).astype(
+        np.float32)
+    got = np.asarray(step(x))
+    ref = np.asarray(eng(x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
