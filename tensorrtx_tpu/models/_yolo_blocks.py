@@ -370,6 +370,110 @@ def c3_down_a(p_c3, p_down, x, shortcut=True):
     return c, conv_a(p_down, c, stride=2)
 
 
+# ---------------------------------------------------------------------------
+# Batch-phase (bp) param transforms: fold f images into channels
+# (ops/nn.py batch_fold / bp_conv_weights rationale). The transformed param
+# trees run through the UNCHANGED apply fns above — conv_a reads kernel
+# size from the weights, c3k2_a slices halves of cv1's output (which
+# out_segments=(c_, c_) makes valid folded tensors), and the (2+n)-way
+# concat into cv2 is absorbed by in_segments. Exact per-image numerics:
+# the block-diagonal zeros add exact +0 to every accumulator.
+# ---------------------------------------------------------------------------
+
+def bp_conv_p(p, f, in_segments=None, out_segments=None):
+    return {"w": nn.bp_conv_weights(p["w"], f, in_segments, out_segments),
+            "b": nn.bp_bias(p.get("b"), f, out_segments)}
+
+
+def bp_bottleneck_p(p, f):
+    return {"cv1": bp_conv_p(p["cv1"], f), "cv2": bp_conv_p(p["cv2"], f)}
+
+
+def bp_c3k_p(p, f):
+    c_ = p["cv1"]["w"].shape[-1]
+    return {"cv1": bp_conv_p(p["cv1"], f), "cv2": bp_conv_p(p["cv2"], f),
+            "cv3": bp_conv_p(p["cv3"], f, in_segments=(c_, c_)),
+            "m": [bp_bottleneck_p(b, f) for b in p["m"]]}
+
+
+def bp_c3k2_p(p, f, in_segments=None):
+    """in_segments: per-image widths when the stage input is a concat of
+    folded tensors (the neck's upsample-lateral concats)."""
+    c2_ = p["cv1"]["w"].shape[-1]
+    c_ = c2_ // 2
+    n = len(p["m"])
+    return {
+        "cv1": bp_conv_p(p["cv1"], f, in_segments=in_segments,
+                         out_segments=(c_, c_)),
+        "cv2": bp_conv_p(p["cv2"], f, in_segments=(c_,) * (2 + n)),
+        "m": [bp_c3k_p(b, f) if "cv3" in b else bp_bottleneck_p(b, f)
+              for b in p["m"]],
+    }
+
+
+def c3k2_bp_refold_a(p, x, f, fi, shortcut=True):
+    """c3k2 on a batch-folded tensor with a DEEPER fold for the inner
+    bottleneck chain: the P2 stage's 8/16-channel bottlenecks fill only
+    16/32 MXU lanes at f=2 (38.7 µs/img at b32), so the chain runs at
+    fi (e.g. 8 → 64/128 lanes) and refolds back for the concat. Exact
+    c3k2_a numerics; refolds are ~1 µs/img reshapes."""
+    c2_ = p["cv1"]["w"].shape[-1]
+    c_ = c2_ // 2
+    y = conv_a(bp_conv_p(p["cv1"], f, out_segments=(c_, c_)), x)
+    parts = [y[..., :f * c_], y[..., f * c_:]]
+    cur = nn.batch_fold(nn.batch_unfold(parts[1], f), fi)
+    for b in p["m"]:
+        blk = bp_c3k_p(b, fi) if "cv3" in b else bp_bottleneck_p(b, fi)
+        cur = (c3k_a(blk, cur, shortcut) if "cv3" in b
+               else bottleneck_a(blk, cur, shortcut))
+        parts.append(nn.batch_fold(nn.batch_unfold(cur, fi), f))
+    cat = jnp.concatenate(parts, axis=-1)
+    n = len(p["m"])
+    return conv_a(bp_conv_p(p["cv2"], f, in_segments=(c_,) * (2 + n)), cat)
+
+
+def bp_dwconv_p(p, f):
+    """Depthwise conv on a folded tensor: per-channel weights tile f× along
+    the channel axis (dwconv_a reads groups from the weight shape)."""
+    return {"w": jnp.tile(p["w"], (1, 1, 1, f)),
+            "b": nn.bp_bias(p.get("b"), f)}
+
+
+def conv_s2d_s1_bp_a(p, x2f, f, in_segments=None):
+    """conv_s2d_s1_a on a batch-folded 2×2-s2d tensor. in_segments=(ci,)*4
+    when the input is phase-major-of-fold (fresh from space_to_depth2 of a
+    folded planar tensor); None when fold-major (chained bp convs).
+    Output is always fold-major [img0(a,b,co) | img1(a,b,co)]."""
+    w1, pads = nn.s2d_s1_conv_weights(p["w"])
+    y = nn.conv2d_s2d_s1(
+        x2f, (nn.bp_conv_weights(w1, f, in_segments=in_segments), pads),
+        None)
+    return nn.silu(y + jnp.tile(jnp.tile(p["b"], 4), f))
+
+
+def c3k2_s2d_bp_a(p, x2f, f, shortcut=True):
+    """c3k2_s2d_a on a batch-folded phase-space tensor: the P2 stage's
+    8/16-channel convs get 4× lanes from the 2×2 phase AND f× from the
+    batch fold (16ch × 4 × f=2 → 128 full MXU lanes). x2f comes from
+    space_to_depth2 of a folded planar tensor (phase-major-of-fold; cv1
+    absorbs that layout via in_segments). Exact c3k2_a numerics."""
+    ci = x2f.shape[-1] // (4 * f)
+    y = conv_s2d_s1_bp_a(p["cv1"], x2f, f, in_segments=(ci,) * 4)
+    b_, h2, w2, cfl = y.shape
+    c_ = cfl // (8 * f)
+    yr = y.reshape(b_, h2, w2, f, 4, 2 * c_)
+    parts = [yr[..., :c_], yr[..., c_:]]
+    cur = parts[1]
+    for bp in p["m"]:
+        z = conv_s2d_s1_bp_a(bp["cv1"], cur.reshape(b_, h2, w2, -1), f)
+        z = conv_s2d_s1_bp_a(bp["cv2"], z, f)
+        z = z.reshape(b_, h2, w2, f, 4, c_)
+        cur = cur + z if (shortcut and cur.shape[-1] == z.shape[-1]) else z
+        parts.append(cur)
+    cat = jnp.concatenate(parts, axis=-1).reshape(b_, h2, w2, -1)
+    return conv_s2d_s1_bp_a(p["cv2"], cat, f)
+
+
 def c3k2_is_plain(p) -> bool:
     """True when every sub-block is a plain bottleneck (no C3k)."""
     return all("cv3" not in b for b in p["m"])

@@ -301,6 +301,16 @@ def apply_s2d(params, x4, cfg: Yolo11Cfg):
     if cfg.task == "cls":
         raise ValueError("apply_s2d supports det/seg/pose/obb tasks")
     bb = params["backbone"]
+    from tensorrtx_tpu.ops import quant_ctx
+
+    if (16 <= x4.shape[0] < 128 and x4.shape[0] % 2 == 0
+            and bb["m5"]["w"].shape[-1] <= 128      # n/s widths only
+            and quant_ctx.STATE is None):
+        # batch-phase fast path: see _apply_s2d_folded (b32 yolo11n
+        # 2648 → 3137 img/s on v5e; exact numerics). At b ≥ 128 XLA
+        # already packs the batch into the 128 lanes ({0,3,2,1} layouts,
+        # 229 µs/img) and folding regresses it — keep the plain path.
+        return _apply_s2d_folded(params, x4, cfg, f=2, f2=2)
     y1 = nn.silu(nn.conv2d_s2d4(
         x4, nn.s2d4_conv_weights(bb["m0"]["w"]), bb["m0"]["b"]))
     x1 = nn.silu(nn.conv2d_s2d(
@@ -319,6 +329,100 @@ def apply_s2d(params, x4, cfg: Yolo11Cfg):
     else:
         feats3 = _backbone_from2_a(bb, x1)
     return _apply_from_feats3(params, feats3, cfg)
+
+
+def _apply_s2d_folded(params, x4, cfg: Yolo11Cfg, f: int = 4, f2: int = 2):
+    """Batch-phase serving path: fold images into the channel dim through
+    the lane-starved stem→m5 region (ops/nn.py batch_fold rationale — at
+    b≥16 every P1/P2 conv has C ≤ 64 in the 128 MXU lanes; block-diagonal
+    weights fill them and cut output rows f×, exact numerics). Measured
+    per-stage optima on v5e (fold·C ≈ 128): f=4 for the 16/32-channel
+    stem/m2/m3 stages (m2 cv1 at f4 is 4.6× its f2 time), f=2 from m4 on
+    (64-channel stages; f4 overshoots 128 lanes and loses). Unfolds at
+    the m5 exit where C reaches 128."""
+    bb = params["backbone"]
+    xf = nn.batch_fold(x4, f)
+    w4, p4 = nn.s2d4_conv_weights(bb["m0"]["w"])
+    y1 = nn.silu(nn.conv2d_s2d4(xf, (nn.bp_conv_weights(w4, f), p4), None)
+                 + jnp.tile(jnp.tile(bb["m0"]["b"], 4), f))
+    w2, p2 = nn.s2d_conv_weights(bb["m1"]["w"])
+    x1 = nn.silu(nn.conv2d_s2d(y1, (nn.bp_conv_weights(w2, f), p2),
+                               nn.bp_bias(bb["m1"]["b"], f)))
+    # (deeper inner refolds for m2's 8/16-ch bottlenecks measured SLOWER
+    # in-graph: fi=8 2900, fi=4 2944 vs plain f2 3137 img/s — the 160²
+    # refold relayouts cost more composed than isolated microbenches show)
+    x = B.c3k2_a(B.bp_c3k2_p(bb["m2"], f), x1)
+    x = B.conv_a(B.bp_conv_p(bb["m3"], f), x, stride=2)
+    if f2 != f:
+        x = nn.batch_fold(nn.batch_unfold(x, f), f2)
+    c4f = B.c3k2_a(B.bp_c3k2_p(bb["m4"], f2), x)
+    x = nn.batch_unfold(
+        B.conv_a(B.bp_conv_p(bb["m5"], f2), c4f, stride=2), f2)
+    if cfg.task != "det":
+        feats3 = _backbone_from6_a(bb, x, nn.batch_unfold(c4f, f2))
+        return _apply_from_feats3(params, feats3, cfg)
+
+    # det: stay folded through the lane-starved neck stages and the P3/P4
+    # heads (every hidden conv there has C ≤ 64); P5-level ops (C ≥ 256
+    # at 20²) run planar.
+    c6 = B.c3k2_a(bb["m6"], x)
+    x = B.c3k2_a(bb["m8"], B.conv_a(bb["m7"], c6, stride=2))
+    p = params["neck"]
+    p5_in = B.c2psa_a(p["m10"], B.sppf_a(p["m9"], x))
+    u = nn.upsample_nearest(p5_in)
+    p4m_f = B.c3k2_a(B.bp_c3k2_p(p["m13"], f2),
+                     nn.batch_fold(jnp.concatenate([u, c6], -1), f2))
+    uf = nn.upsample_nearest(p4m_f)
+    w_u = p["m13"]["cv2"]["w"].shape[-1]      # per-image lateral widths
+    w_c4 = bb["m5"]["w"].shape[-1]
+    p3f = B.c3k2_a(B.bp_c3k2_p(p["m16"], f2, in_segments=(w_u, w_c4)),
+                   jnp.concatenate([uf, c4f], -1))
+    xf = B.conv_a(B.bp_conv_p(p["m17"], f2), p3f, stride=2)
+    w_17 = p["m17"]["w"].shape[-1]
+    p4f = B.c3k2_a(B.bp_c3k2_p(p["m19"], f2, in_segments=(w_17, w_u)),
+                   jnp.concatenate([xf, p4m_f], -1))
+    p4 = nn.batch_unfold(p4f, f2)
+    x = B.conv_a(p["m20"], p4, stride=2)
+    p5 = B.c3k2_a(p["m22"], jnp.concatenate([x, p5_in], -1))
+
+    h = params["head"]
+    b3, c3 = _det_head_lv_bp(h["cv2"][0], h["cv3"][0], p3f, f2)
+    b4, c4l = _det_head_lv_bp(h["cv2"][1], h["cv3"][1], p4f, f2)
+    box_lv, cls_lv = _det_head_a(
+        {"cv2": h["cv2"][2:], "cv3": h["cv3"][2:]}, [p5], cfg.reg_max)
+    box_lv = [nn.batch_unfold(b3, f2), nn.batch_unfold(b4, f2)] + box_lv
+    cls_lv = [nn.batch_unfold(c3, f2), nn.batch_unfold(c4l, f2)] + cls_lv
+    return _decode_det(params, box_lv, cls_lv, cfg)
+
+
+def _decode_det(params, box_lv, cls_lv, cfg: Yolo11Cfg):
+    """Decode + select + NMS for the plain det task (the folded serving
+    path's tail; same ops as _apply_from_feats3's det branch)."""
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
+                                              (8, 16, 32))
+    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+    if cfg.postprocess == "raw":
+        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+    dets = select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det)
+    return dets.as_dict()
+
+
+def _det_head_lv_bp(q, r, ff, f):
+    """One detect-head level on a batch-folded feature map (box + cls
+    branches, block-diagonal weights; exact _det_head_a numerics)."""
+    y = B.conv_a(B.bp_conv_p(q["a"], f), ff)
+    y = B.conv_a(B.bp_conv_p(q["b"], f), y)
+    box = nn.conv2d(y, nn.bp_conv_weights(q["c"]["w"], f),
+                    nn.bp_bias(q["c"]["b"], f))
+    z = B.dwconv_a(B.bp_dwconv_p(r["a0"], f), ff)
+    z = B.conv_a(B.bp_conv_p(r["a1"], f), z)
+    z = B.dwconv_a(B.bp_dwconv_p(r["b0"], f), z)
+    z = B.conv_a(B.bp_conv_p(r["b1"], f), z)
+    cls = nn.conv2d(z, nn.bp_conv_weights(r["c"]["w"], f),
+                    nn.bp_bias(r["c"]["b"], f))
+    return box, cls
 
 
 apply_s2d.factor = 4  # letterbox_s2d factor this entry point consumes

@@ -407,6 +407,89 @@ def depth_to_space_h(xh: Array) -> Array:
             .transpose(0, 1, 3, 2, 4).reshape(b, 2 * h2, w, c))
 
 
+# ---------------------------------------------------------------------------
+# Batch-phase (bp) rewrites: fold f images into the channel dimension.
+#
+# At serving batch sizes that can't fill the 128 MXU lanes with output
+# channels (b32 yolo11n: C ≤ 64 at every P1-P3 stage → lanes half empty,
+# 5-42 TF/s measured), folding f images into channels makes every conv a
+# (B/f, H, W, f·C) conv with BLOCK-DIAGONAL weights: per-image numerics are
+# untouched (the off-diagonal zeros contribute exact +0 to each f32
+# accumulator), output rows drop f× and lanes fill to f·C. Measured on v5e
+# at b32/160²: C=64 3×3 42→75 TF/s (f=2), C=64 1×1 5.1→21.7 TF/s, C=32 3×3
+# 11→44 TF/s (f=4); fold·C > 128 LOSES (C=128 f=2: 177→95 TF/s) — fold so
+# that f·C ≈ 128. Unlike the row-phase (s2dh) family there is no spatial
+# cross-talk: any kernel/stride/pool/upsample works unchanged on a folded
+# tensor. Only channel-structural ops (concat/split) need the segment
+# bookkeeping below (same convention as the s2dh ops).
+#
+# Layout: batch_fold puts image i of each group at channel block i
+# (fold-major). A concat of folded tensors is segment-major
+# [segA(f·Ca) | segB(f·Cb)]; bp_conv_weights(in_segments=...) absorbs that
+# permutation, and out_segments emits segment-major outputs so static
+# slices of the result are themselves valid folded tensors.
+# ---------------------------------------------------------------------------
+
+
+def batch_fold(x: Array, f: int) -> Array:
+    """(B, H, W, C) → (B/f, H, W, f·C); channel block i = image i."""
+    b, h, w, c = x.shape
+    return (x.reshape(b // f, f, h, w, c)
+            .transpose(0, 2, 3, 1, 4).reshape(b // f, h, w, f * c))
+
+
+def batch_unfold(x: Array, f: int) -> Array:
+    """Inverse of `batch_fold`: (B/f, H, W, f·C) → (B, H, W, C)."""
+    bf, h, w, cf = x.shape
+    return (x.reshape(bf, h, w, f, cf // f)
+            .transpose(0, 3, 1, 2, 4).reshape(bf * f, h, w, cf // f))
+
+
+def _seg_offsets(segments):
+    offs, t = [], 0
+    for s in segments:
+        offs.append(t)
+        t += s
+    return offs, t
+
+
+def bp_conv_weights(w: Array, f: int, in_segments=None, out_segments=None
+                    ) -> Array:
+    """(kh, kw, ci, co) HWIO kernel → (kh, kw, f·ci, f·co) block-diagonal
+    over the fold index. in_segments: the input is a concat of folded
+    tensors with these per-image widths (segment-major layout).
+    out_segments: emit outputs segment-major with these per-image widths."""
+    kh, kw, ci, co = w.shape
+    in_segs = tuple(in_segments) if in_segments else (ci,)
+    out_segs = tuple(out_segments) if out_segments else (co,)
+    assert sum(in_segs) == ci and sum(out_segs) == co, (in_segs, out_segs, w.shape)
+    i_offs, _ = _seg_offsets(in_segs)
+    o_offs, _ = _seg_offsets(out_segs)
+    wb = jnp.zeros((kh, kw, f * ci, f * co), w.dtype)
+    for i in range(f):
+        for si, (ioff, iw) in enumerate(zip(i_offs, in_segs)):
+            for so, (ooff, ow) in enumerate(zip(o_offs, out_segs)):
+                blk = w[:, :, ioff:ioff + iw, ooff:ooff + ow]
+                wb = wb.at[:, :,
+                           f * ioff + i * iw: f * ioff + (i + 1) * iw,
+                           f * ooff + i * ow: f * ooff + (i + 1) * ow].set(blk)
+    return wb
+
+
+def bp_bias(b: Optional[Array], f: int, out_segments=None) -> Optional[Array]:
+    """Tile a per-channel bias to the folded layout of bp_conv_weights."""
+    if b is None:
+        return None
+    if not out_segments:
+        return jnp.tile(b, f)
+    parts = []
+    off = 0
+    for s in out_segments:
+        parts.append(jnp.tile(b[off:off + s], f))
+        off += s
+    return jnp.concatenate(parts)
+
+
 def s2dh_s1_conv_weights(w: Array, padding: Optional[int] = None,
                          in_segments=None, out_segments=None):
     """Rearrange a k×k stride-1 same-padding HWIO kernel to consume and emit
