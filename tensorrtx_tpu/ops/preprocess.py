@@ -215,9 +215,13 @@ def letterbox_s2d(
     bm = 1.0 - (rs_y.reshape(uu, f).transpose(1, 0)[:, None, :, None]
                 * rs_x.reshape(vv, f).transpose(1, 0)[None, :, None, :]
                 ).transpose(2, 3, 0, 1)                     # (u, v, a, b)
-    p = p.astype(jnp.float32) + bm[..., None] * k1 \
-        + (1.0 - bm[..., None]) * offset
-    return p.astype(out_dtype).reshape(uu, vv, f * f * img.shape[-1])
+    # fold the border/offset correction into ONE small pre-cast term so the
+    # (u, v, a, b, c) tensor never round-trips through f32 (the f32 cast +
+    # add was ~2 HBM passes, ~10 µs/img at b32; interior bm is ~1e-7 so the
+    # bf16 add is 1-ulp noise on edge pixels only)
+    corr = (bm * k1 + (1.0 - bm) * offset).astype(out_dtype)
+    p = p + corr[..., None]
+    return p.reshape(uu, vv, f * f * img.shape[-1])
 
 
 def letterbox_s2d_batch(imgs: Array, src_hw: Array, dst_h: int, dst_w: int,
