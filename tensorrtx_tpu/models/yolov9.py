@@ -184,7 +184,50 @@ def _build_converted_params(wm, cfg):
     return p
 
 
+def _build_e_params(wm, cfg):
+    """yolov9-e live subgraph (model.cpp:742-960). DualDDetect model.49
+    reads [m35, m32, sppelan_29], all fed from backbone-A, so the PGI
+    B-branch (models 10-28) and PAN-B (36-48) are dead code the reference
+    engine prunes — we build only the live layers (same graph TRT runs)."""
+    p = {
+        "m1": B.conv_p(wm, "model.1", 3, 64, 3),
+        "m2": B.conv_p(wm, "model.2", 64, 128, 3),
+        "e3": _elan4_p(wm, "model.3", 128, 256, 128, 64, 2),
+        "a4": _adown_p(wm, "model.4", 256, 256),
+        "e5": _elan4_p(wm, "model.5", 256, 512, 256, 128, 2),
+        "a6": _adown_p(wm, "model.6", 512, 512),
+        "e7": _elan4_p(wm, "model.7", 512, 1024, 512, 256, 2),
+        "a8": _adown_p(wm, "model.8", 1024, 1024),
+        "e9": _elan4_p(wm, "model.9", 1024, 1024, 512, 256, 2),
+        "spp29": _sppelan_p(wm, "model.29", 1024, 512, 256),
+        "e32": _elan4_p(wm, "model.32", 1536, 512, 512, 256, 2),
+        "e35": _elan4_p(wm, "model.35", 1024, 256, 256, 128, 2),
+    }
+    p["head"] = _head_p(wm, cfg, "model.49", [256, 512, 512])
+    return p
+
+
+def _apply_e_from_stem(params, y, cfg):
+    e5 = _elan4_a(params["e5"], _adown_a(params["a4"],
+                                         _elan4_a(params["e3"], y)))
+    e7 = _elan4_a(params["e7"], _adown_a(params["a6"], e5))
+    spp = _sppelan_a(params["spp29"],
+                     _elan4_a(params["e9"], _adown_a(params["a8"], e7)))
+    p4 = _elan4_a(params["e32"],
+                  jnp.concatenate([nn.upsample_nearest(spp), e7], -1))
+    p3 = _elan4_a(params["e35"],
+                  jnp.concatenate([nn.upsample_nearest(p4), e5], -1))
+    feats = [p3, p4, spp]
+    box_lv = [_branch3(params["head"]["cv2"][i], f, groups=4)
+              for i, f in enumerate(feats)]
+    cls_lv = [_branch3(params["head"]["cv3"][i], f)
+              for i, f in enumerate(feats)]
+    return _decode_tail(params, box_lv, cls_lv, p3, cfg)
+
+
 def build_params(wm, cfg: Yolov9Cfg):
+    if cfg.scale == "e":
+        return _build_e_params(wm, cfg)
     if cfg.scale in _CONVERTED:
         return _build_converted_params(wm, cfg)
     p = {
@@ -336,6 +379,10 @@ def _apply_converted_from_stem(params, y, cfg):
 
 
 def apply(params, x, cfg: Yolov9Cfg):
+    if cfg.scale == "e":
+        y = B.conv_a(params["m1"], x, stride=2)
+        y = B.conv_a(params["m2"], y, stride=2)
+        return _apply_e_from_stem(params, y, cfg)
     if cfg.scale in _CONVERTED:
         return _apply_converted(params, x, cfg)
     y = B.conv_a(params["c1"], x, stride=2)
@@ -353,6 +400,9 @@ def apply_s2d(params, x4, cfg: Yolov9Cfg):
     parity tensor. Converted scales (t/s/m): the single 3×3/3×3 stem pair
     takes the same rewrite (their raw-input space-to-batch stem cost
     ~2.4 ms/img of a 2.9 ms yolov9-t on v5e)."""
+    if cfg.scale == "e":
+        y = B.stem_s2d_a(params["m1"], params["m2"], x4)
+        return _apply_e_from_stem(params, y, cfg)
     if cfg.scale in _CONVERTED:
         y = B.stem_s2d_a(params["m0"], params["m1"], x4)
         return _apply_converted_from_stem(params, y, cfg)

@@ -34,10 +34,18 @@ def _pair(v) -> Tuple[int, int]:
 
 
 def _mxu_precision(dtype):
-    """fp32 engines must honor the reference's fp32 accuracy bar (~1e-4):
-    JAX's DEFAULT TPU precision runs f32 dots through bf16 passes, so force
-    HIGHEST for f32 inputs. Half-precision engines keep the fast path."""
-    return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+    """fp32 engines must honor the reference's fp32 accuracy bar (~1e-4,
+    rcnn/README.md:20): JAX's DEFAULT TPU precision runs f32 dots through a
+    single bf16 pass (8-bit mantissa), so f32 inputs get HIGH — the 3-pass
+    bf16 scheme (~19-bit effective mantissa, measured ≤7e-5 abs vs HIGHEST
+    on a 512-ch 4×4 conv with unit-variance operands). This is strictly
+    MORE precise than what the reference's published "fp32" rows ran:
+    TensorRT enables TF32 tensor-core math (10-bit mantissa) by default
+    for fp32 engines on Ampere+ (the efficient_ad RTX-3080 and yolov9
+    RTX-4060Ti tables). HIGHEST (6-pass, exact f32) doubles the MXU pass
+    count for precision nothing in the parity bars needs.
+    Half-precision engines keep the fast single-pass path."""
+    return lax.Precision.HIGH if dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
 def conv2d(
@@ -140,6 +148,13 @@ def s2d_conv_weights(w: Array, padding: Optional[int] = None):
     (a, b, c) to match `letterbox_s2d`. Returns (w2, (pad_before,
     pad_after)) for `conv2d_s2d`.
     """
+    from tensorrtx_tpu.ops import quant_ctx
+
+    # report the ORIGINAL kernel to the calibration weight spy: conv2d_s2d
+    # consumes a quant index via _maybe_quant_conv_s2d, so models whose
+    # plain apply runs an s2d stem (e.g. DETR backbone_apply stem_s2d=True)
+    # must contribute the matching weight entry in trace order
+    quant_ctx.spy_weight(w)
     k = w.shape[0]
     assert w.shape[1] == k, "square kernels only"
     p = k // 2 if padding is None else padding
@@ -256,6 +271,9 @@ def s2d4_conv_weights(w: Array, padding: Optional[int] = None):
     Standard 3×3 p1 gives a 2×2 block kernel; YOLOv5's 6×6 p2 stem a 3×3.
     Returns (w4, (pad_before, pad_after)).
     """
+    from tensorrtx_tpu.ops import quant_ctx
+
+    quant_ctx.spy_weight(w)  # keep quant trace-order indices aligned
     k = w.shape[0]
     assert w.shape[1] == k, "square kernels only"
     p = k // 2 if padding is None else padding

@@ -111,6 +111,7 @@ MATRIX = {
     "yolov9@t": ("yolov9", {"scale": "t", "input_h": 320, "input_w": 320}),
     "yolov9@s": ("yolov9", {"scale": "s", "input_h": 320, "input_w": 320}),
     "yolov9@m": ("yolov9", {"scale": "m", "input_h": 320, "input_w": 320}),
+    "yolov9@e": ("yolov9", {"scale": "e", "input_h": 320, "input_w": 320}),
     "yolov8@pose": ("yolov8",
                     {"task": "pose", "input_h": 320, "input_w": 320}),
     "yolov8@obb": ("yolov8", {"task": "obb", "input_h": 320, "input_w": 320}),

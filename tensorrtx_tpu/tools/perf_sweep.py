@@ -27,14 +27,28 @@ CASES = [
      2.8, "fp16 RTX4060Ti yolov9/README.md:41"),
     ("yolov9", {"scale": "c", "postprocess": "nms"}, "bf16", 1,
      4.6, "fp16 RTX4060Ti yolov9/README.md:42"),
+    ("yolov9", {"scale": "e", "postprocess": "nms"}, "bf16", 1,
+     3.2, "fp16 RTX4060Ti yolov9/README.md:43"),
     ("yolov5", {"scale": "n", "postprocess": "nms"}, "bf16", 1,
      0.58, "fp16 RTX4060Ti yolov9/README.md:27"),
     ("yolov5", {"scale": "s", "postprocess": "nms"}, "bf16", 1,
      0.90, "fp16 RTX4060Ti yolov9/README.md:29"),
+    ("yolov5", {"scale": "m", "postprocess": "nms"}, "bf16", 1,
+     1.9, "fp16 RTX4060Ti yolov9/README.md:31"),
+    ("yolov5", {"scale": "l", "postprocess": "nms"}, "bf16", 1,
+     2.8, "fp16 RTX4060Ti yolov9/README.md:33"),
+    ("yolov5", {"scale": "x", "postprocess": "nms"}, "bf16", 1,
+     5.1, "fp16 RTX4060Ti yolov9/README.md:35"),
     ("rcnn", {"task": "det"}, "bf16", 1,
      36.0, "fp16 2080Ti rcnn/README.md:151 (640x480)"),
     ("rcnn", {"task": "mask"}, "bf16", 1,
      44.0, "fp16 2080Ti rcnn/README.md:153 (640x480)"),
+    ("rcnn", {"task": "det", "variant": "resnet101"}, "bf16", 1,
+     38.0, "fp16 2080Ti rcnn/README.md:152 (640x480, R101-C4)"),
+    ("rcnn", {"task": "mask", "variant": "resnet101"}, "bf16", 1,
+     45.0, "fp16 2080Ti rcnn/README.md:154 (640x480, R101-C4)"),
+    ("detr", {"input_h": 800, "input_w": 800, "input_format": "s2d2"},
+     "int8", 1, 8.38, "int8 2080Ti detr/README.md:86"),
     ("efficient_ad", {}, "fp32", 1,
      12.0, "fp32 RTX3080 efficient_ad/README.md:49"),
     ("detr", {"input_h": 800, "input_w": 800, "input_format": "s2d2"}, "bf16", 1,
@@ -94,9 +108,21 @@ def measure(name, over, precision, batch, reps=3):
 
     from tensorrtx_tpu.core.runner import ServingPipeline, bench_marginal
 
-    e = _engine(name, over, precision)
+    if precision == "int8":
+        # quantized tier (≙ the reference's int8 engines): engine built
+        # bf16, absmax-calibrated, convs run int8 MXU dots via quant_ctx
+        from tensorrtx_tpu.core.quant import QuantizedEngine, calibrate
+
+        base = _engine(name, over, "bf16")
+        hh, ww, cc = base.model.input_shape(base.cfg)
+        rng = np.random.default_rng(5)
+        cal = [rng.uniform(0, 1, (2, hh, ww, cc)).astype(np.float32)
+               for _ in range(2)]
+        e = QuantizedEngine(base, calibrate(base, cal, method="absmax"))
+    else:
+        e = _engine(name, over, precision)
     h, w, c = e.model.input_shape(e.cfg)
-    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    dt = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
     K = 8
 
     if batch == 1 and c == 3 and e.model.apply_s2d is not None and \
@@ -140,8 +166,17 @@ def main():
 
     enable_persistent_cache(os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".bench_xla_cache"))
+    # optional filter: `perf_sweep yolov5:l,rcnn` runs only matching rows
+    # (model name, optionally :<scale-or-variant substring>)
+    sel = None
+    if len(sys.argv) > 1:
+        sel = [s.split(":") for s in sys.argv[1].split(",")]
     rows = []
     for (name, over, precision, batch, ref_ms, tag) in CASES:
+        if sel is not None and not any(
+                name == s[0] and (len(s) == 1 or s[1] in str(over))
+                for s in sel):
+            continue
         try:
             ms = measure(name, over, precision, batch)
         except Exception as exc:  # noqa: BLE001 - record and continue

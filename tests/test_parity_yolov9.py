@@ -10,7 +10,8 @@ from tensorrtx_tpu.core.engine import build_engine
 from tensorrtx_tpu.core.wts import state_dict_to_wts
 from test_yolo11 import np_decode
 from torch_refs.yolo11_torch import randomize
-from torch_refs.yolov9_torch import Yolov9ConvertedTorch, Yolov9CTorch
+from torch_refs.yolov9_torch import (Yolov9ConvertedTorch, Yolov9CTorch,
+                                     Yolov9ETorch)
 
 H = W = 160
 
@@ -36,6 +37,15 @@ def test_yolov9_converted_parity(tmp_path, scale):
     eng = build_engine("yolov9", str(wts), scale=scale, input_h=H, input_w=W,
                        postprocess="raw")
     _check(tm, eng, seed=32)
+
+
+def test_yolov9_e_live_graph_parity(tmp_path):
+    tm = randomize(Yolov9ETorch(), seed=35).eval()
+    wts = tmp_path / "v9e.wts"
+    state_dict_to_wts(str(wts), tm.state_dict())
+    eng = build_engine("yolov9", str(wts), scale="e", input_h=H, input_w=W,
+                       postprocess="raw")
+    _check(tm, eng, seed=36)
 
 
 def test_yolov9_c_full_graph_parity(tmp_path):

@@ -129,3 +129,29 @@ def test_int8_serving_s2d_matches_standard(rng):
     n = int(ref["count"][0])
     np.testing.assert_allclose(got["boxes"][0][:n], ref["boxes"][0][:n],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_int8_s2d_stem_in_plain_apply_aligned(rng):
+    """Models whose PLAIN apply runs an s2d stem (DETR backbone_apply
+    stem_s2d=True, rcnn/retinaface analogs) must keep quant indices
+    aligned: s2d_conv_weights reports the original kernel to the weight
+    spy (regression: the stem consumed a scale index but contributed no
+    weight entry, shifting every downstream conv's scales by one)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tensorrtx_tpu.core.engine import Engine
+    from tensorrtx_tpu.core.random_weights import RandomWeightMap
+    from tensorrtx_tpu.core.registry import get_model
+
+    model = get_model("detr")
+    cfg = dataclasses.replace(model.default_cfg(), input_h=64, input_w=64,
+                              input_format="s2d2", num_queries=8,
+                              enc_layers=1, dec_layers=1)
+    params = model.build_params(RandomWeightMap(seed=3), cfg)
+    eng = Engine("detr", params, cfg, "fp32")
+    calib = [rng.uniform(0, 1, (1, 32, 32, 12)).astype(np.float32)]
+    q = QuantizedEngine(eng, calibrate(eng, calib, method="absmax"))
+    out = q(calib[0])  # raises on scale misalignment
+    assert np.isfinite(np.asarray(out["scores"])).all()

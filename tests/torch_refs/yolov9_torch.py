@@ -218,6 +218,40 @@ class Yolov9ConvertedTorch(nn.Module):
         return m[22]([p3, p4, p5])
 
 
+class Yolov9ETorch(nn.Module):
+    """yolov9-e live subgraph (model.cpp:742-960): DualDDetect model.49 reads
+    [repncspelan_35, repncspelan_32, sppelan_29] — all fed by backbone-A
+    only, so the PGI B-branch (models 10-28) and PAN-B (36-48) are dead
+    code TRT prunes from the engine. Only the live layers exist here."""
+
+    def __init__(self, nc=80):
+        super().__init__()
+        self.model = nn.ModuleDict({
+            "1": Conv(3, 64, 3, 2), "2": Conv(64, 128, 3, 2),
+            "3": RepNCSPELAN4(128, 256, 128, 64, 2),
+            "4": ADown(256, 256),
+            "5": RepNCSPELAN4(256, 512, 256, 128, 2),
+            "6": ADown(512, 512),
+            "7": RepNCSPELAN4(512, 1024, 512, 256, 2),
+            "8": ADown(1024, 1024),
+            "9": RepNCSPELAN4(1024, 1024, 512, 256, 2),
+            "29": SPPELAN(1024, 512, 256),
+            "32": RepNCSPELAN4(1536, 512, 512, 256, 2),
+            "35": RepNCSPELAN4(1024, 256, 256, 128, 2),
+            "49": DDetectHead(nc, [256, 512, 512], c3_cap=nc * 2),
+        })
+
+    def forward(self, x):
+        m = self.model
+        up = lambda t: F.interpolate(t, scale_factor=2, mode="nearest")
+        e5 = m["5"](m["4"](m["3"](m["2"](m["1"](x)))))
+        e7 = m["7"](m["6"](e5))
+        spp = m["29"](m["9"](m["8"](e7)))
+        p4 = m["32"](torch.cat([up(spp), e7], 1))
+        p3 = m["35"](torch.cat([up(p4), e5], 1))
+        return m["49"]([p3, p4, spp])
+
+
 class Yolov9CTorch(nn.Module):
     """yolov9-c PGI dual-branch graph (model.cpp:557-729); detection runs on
     the reversible-branch outputs model.31/34/37 (PAN 11-22 is dead code)."""
