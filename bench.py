@@ -103,11 +103,10 @@ def main():
                 raise
             print(f"# batch={batch} skipped: {e}", file=sys.stderr)
 
-    # int8 tier (≙ the reference's int8 engines, yolov9/README.md:42).
-    # Measured reality on v5e: int8 does NOT beat bf16 here — the MXU pass
-    # cost at these channel-starved conv shapes is set by the M rows, not
-    # the element width, while every conv gains a VPU quantize/requant
-    # elementwise pass (see PERF.md).
+    # int8 float-resident tier (≙ TRT's per-layer Q/DQ fallback): loses to
+    # bf16 on v5e — every conv pays a standalone quantize pass. The
+    # chained int8-RESIDENT tier below is the real int8 formulation
+    # (PERF.md §INT8).
     int8_res = {}
     try:
         from tensorrtx_tpu.core.quant import QuantizedEngine, calibrate
@@ -131,12 +130,39 @@ def main():
         int8_res["batch32_iter_ms"] = round(float(np.median(reps)), 3)
         int8_res["batch32_ips"] = round(
             32e3 / int8_res["batch32_iter_ms"], 1)
-        print(f"# int8: b1 {int8_res['batch1_iter_ms']} ms/img, "
-              f"b32 {int8_res['batch32_ips']} img/s "
-              "(bf16 is the fast tier on v5e — see PERF.md)",
-              file=sys.stderr)
+        print(f"# int8 (float-resident): b1 {int8_res['batch1_iter_ms']} "
+              f"ms/img, b32 {int8_res['batch32_ips']} img/s", file=sys.stderr)
     except Exception as e:
         print(f"# int8 bench skipped: {e}", file=sys.stderr)
+
+    # chained int8 tier (int8-RESIDENT activations, ops/qchain.py): the
+    # b128 winner on v5e — beats bf16 there; at b32 the s8 layout
+    # oscillation at small-C stages keeps bf16 ahead (PERF.md §INT8)
+    try:
+        from tensorrtx_tpu.core.quant import ChainedInt8Engine
+
+        cal = rng.integers(0, 255, (8, 640, 640, 3)).astype(np.uint8)
+        for fold, batch, nbuf in ((2, 32, 8), (1, 128, 3)):
+            ce = ChainedInt8Engine(eng, fold=fold, enter="m3")
+            ce.calibrate([cal])
+            cfn = jax.jit(ce.raw_serve)
+            chw = jnp.asarray(np.tile([[640, 640]], (batch, 1)), jnp.int32)
+            cbufs = [jax.device_put(jnp.asarray(rng.integers(
+                0, 255, (batch, 640, 640, 3), np.uint8)))
+                for _ in range(nbuf)]
+            p_, wq_, sc_ = ce.serve_args()
+            reps = [bench_marginal(cfn, [(p_, wq_, sc_, b, chw)
+                                         for b in cbufs],
+                                   n_small=10, n_large=40)["iter_ms"]
+                    for _ in range(3)]
+            ms = float(np.median(reps))
+            int8_res[f"chained_batch{batch}_iter_ms"] = round(ms, 3)
+            int8_res[f"chained_batch{batch}_ips"] = round(batch / ms * 1e3, 1)
+            print(f"# int8 chained (fold={fold}): b{batch} "
+                  f"{int8_res[f'chained_batch{batch}_ips']} img/s",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# chained int8 bench skipped: {e}", file=sys.stderr)
 
     # secondary headline benchmarks vs the reference's published latencies
     # (BASELINE.md: DETR-R50 b1 19.57 ms fp32 / 9.42 ms fp16 on 2080Ti;

@@ -22,7 +22,8 @@ from tensorrtx_tpu.core.engine import Engine
 from tensorrtx_tpu.ops import quant_ctx
 
 __all__ = ["calibrate", "entropy_scale", "save_scale_cache",
-           "load_scale_cache", "QuantizedEngine", "weight_scales"]
+           "load_scale_cache", "QuantizedEngine", "ChainedInt8Engine",
+           "weight_scales"]
 
 HIST_BINS = 2048
 QUANT_BINS = 128
@@ -215,6 +216,135 @@ class QuantizedEngine:
         eng = Engine.load(path)
         scales = load_scale_cache(os.path.join(path, "int8calib.json"))
         return QuantizedEngine(eng, scales)
+
+
+class ChainedInt8Engine:
+    """Int8-RESIDENT serving engine: activations cross HBM as int8.
+
+    Built on a model's `apply_chain` mirror (ops/qchain.py): every conv is
+    int8×int8→int32 with a fused dequant+bias+act+requant epilogue — the
+    structure inside a real TensorRT int8 engine, vs QuantizedEngine's
+    per-layer float-resident Q/DQ. Serving contract matches
+    ServingPipeline: uint8 frames → fused letterbox_s2d → chain → dets.
+
+    Weight collection runs the tap pass once eagerly on CPU (weights are
+    input-independent); `calibrate()` then streams uint8 frame batches
+    through the jitted tap pass on device to set activation scales
+    (absmax/127 per production point — the Int8EntropyCalibrator2 analog
+    for the chained tier).
+    """
+
+    def __init__(self, engine: Engine, bgr_to_rgb: bool = False,
+                 fold: int = 2, enter: str = "m3"):
+        from tensorrtx_tpu.ops import qchain
+        from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+        model, cfg = engine.model, engine.cfg
+        chain = model.apply_chain
+        if chain is None or not chain.supports(cfg):
+            raise ValueError(f"{engine.name}: no chained int8 path for this cfg")
+        self.engine = engine
+        self.model, self.cfg, self.name = model, cfg, engine.name
+        self.precision = "int8_chained"
+        self.factor = chain.factor
+        # fold: batch-phase factor (2 for b16-64 serving; 1 = unfolded, the
+        # b128 winner — chained int8 4757 vs bf16 4417 img/s on v5e).
+        # enter: "stem" chains from the first conv; "m3" leaves the 160²
+        # stem/m2 stage bf16 (XLA s8 layout oscillation there, see
+        # models/yolo11.apply_chain).
+        self.fold, self.enter = fold, enter
+        h, w, _ = model.input_shape(cfg)
+        self._dst = (h, w)
+        dtype = jnp.bfloat16
+
+        def _ctx(mode, **kw):
+            c = qchain.ChainCtx(mode, **kw)
+            c.enter = enter
+            return c
+
+        # 1. collect conv weights: one eager tap pass on CPU (B=2 zeros —
+        # the fold needs an even batch; weights are input-independent)
+        params_np = jax.tree.map(np.asarray, engine.params)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params_cpu = jax.tree.map(jnp.asarray, params_np)
+            ctx = _ctx("tap")
+            x0 = jnp.zeros((2, h // self.factor, w // self.factor,
+                            3 * self.factor * self.factor), dtype)
+            chain(params_cpu, x0, cfg, ctx, f=fold if fold > 1 else 1)
+        self.n_scales = ctx.n_scales
+        self.wq, self.sw = qchain.quantize_chain_weights(
+            [np.asarray(wt) for wt in ctx.ws], ctx.w_is_dw)
+        self.act_scales: Optional[np.ndarray] = None
+
+        def tap_fused(params, frames, src_hw):
+            x4 = letterbox_s2d_batch(frames, src_hw, h, w,
+                                     bgr_to_rgb=bgr_to_rgb, out_dtype=dtype,
+                                     factor=self.factor)
+            c = _ctx("tap")
+            chain(params, x4, cfg, c, f=fold)
+            return c.taps
+
+        self._tap_jit = jax.jit(tap_fused)
+
+        def run_fused(params, wq, scales, frames, src_hw):
+            x4 = letterbox_s2d_batch(frames, src_hw, h, w,
+                                     bgr_to_rgb=bgr_to_rgb, out_dtype=dtype,
+                                     factor=self.factor)
+            c = _ctx("run", scales=scales, wq=wq, sw=self.sw)
+            return chain(params, x4, cfg, c, f=fold)
+
+        self._run_fused = run_fused
+        self._jitted = jax.jit(run_fused)
+
+    def calibrate(self, frame_batches: Iterable[np.ndarray]) -> np.ndarray:
+        """frame_batches: uint8 (B, srcH, srcW, 3) arrays, B even ≥ 2."""
+        absmax = None
+        for fr in frame_batches:
+            b, sh, sw_, _ = fr.shape
+            hw = jnp.tile(jnp.asarray([[sh, sw_]], jnp.int32), (b, 1))
+            taps = self._tap_jit(self.engine.params,
+                                 jnp.asarray(fr, jnp.uint8), hw)
+            cur = np.array([np.asarray(t) for t in taps])
+            absmax = cur if absmax is None else np.maximum(absmax, cur)
+        self.act_scales = np.maximum(absmax / 127.0, 1e-8).astype(np.float32)
+        return self.act_scales
+
+    def serve_args(self):
+        """(params, wq, scales) leading args for the traceable serving fn."""
+        assert self.act_scales is not None, "call calibrate() first"
+        return (self.engine.params, self.wq, jnp.asarray(self.act_scales))
+
+    def raw_serve(self, params, wq, scales, frames, src_hw):
+        """Traceable uint8-frames → detections chain forward."""
+        return self._run_fused(params, wq, scales, frames, src_hw)
+
+    def __call__(self, frames, src_hw=None):
+        frames = jnp.asarray(frames, jnp.uint8)
+        if src_hw is None:
+            b = frames.shape[0]
+            src_hw = jnp.tile(jnp.asarray(
+                [[frames.shape[1], frames.shape[2]]], jnp.int32), (b, 1))
+        return self._jitted(*self.serve_args(), frames,
+                            jnp.asarray(src_hw, jnp.int32))
+
+    def save(self, path: str) -> None:
+        self.engine.save(path)
+        save_scale_cache(os.path.join(path, "int8chain.json"),
+                         self.act_scales,
+                         {"model": self.name, "tier": "chained",
+                          "fold": self.fold, "enter": self.enter})
+
+    @staticmethod
+    def load(path: str) -> "ChainedInt8Engine":
+        eng = Engine.load(path)
+        with open(os.path.join(path, "int8chain.json")) as fh:
+            meta = json.load(fh).get("meta", {})
+        ce = ChainedInt8Engine(eng, fold=meta.get("fold", 2),
+                               enter=meta.get("enter", "m3"))
+        ce.act_scales = load_scale_cache(
+            os.path.join(path, "int8chain.json"))
+        return ce
 
 
 def _conv_weights(engine: Engine) -> List[np.ndarray]:

@@ -31,6 +31,10 @@ class ModelDef:
     # (params, cfg, n_stages) -> (pre_fn, stage_fn, stacked_stage_params,
     # post_fn) consumed by parallel.gpipe.gpipe_serving_step / cli run --pp
     gpipe_split: Optional[Callable[..., Any]] = None
+    # optional int8-RESIDENT chain mirror (ops.qchain): (params, x_s2d, cfg,
+    # ctx) -> outputs, same structure in tap and run modes; consumed by
+    # core.quant.ChainedInt8Engine. x_s2d matches apply_s2d's input format.
+    apply_chain: Optional[Callable[..., Any]] = None
     doc: str = ""
 
 

@@ -1,0 +1,106 @@
+"""Int8-resident chain twins of the shared YOLO blocks (_yolo_blocks).
+
+Each helper mirrors its float twin's dataflow exactly, with every op routed
+through an ops.qchain.ChainCtx — so the same function body serves both the
+calibration (tap) pass and the int8-resident serving pass, and the
+scale/weight slot order is aligned by construction. See ops/qchain.py for
+the formulation and PERF.md §INT8 for the measured rationale.
+
+Reference analog: inside a TensorRT int8 engine every one of these blocks
+is an int8-in/int8-out region with fused requant epilogues; the reference
+builds them via builder flags (yolo11/src/model.cpp USE_INT8 +
+calibrator), here the chain mirror makes the same structure explicit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tensorrtx_tpu.models import _yolo_blocks as B
+from tensorrtx_tpu.ops import nn
+from tensorrtx_tpu.ops.qchain import ChainCtx, QTensor
+
+
+def _ch(x) -> int:
+    return (x.q if isinstance(x, QTensor) else x).shape[-1]
+
+
+def qconv_a(ctx: ChainCtx, p, x, stride: int = 1, act: bool = True):
+    return ctx.conv(x, p["w"], p.get("b"), act="silu" if act else None,
+                    stride=stride)
+
+
+def qbottleneck_a(ctx, p, x, shortcut=True):
+    y = qconv_a(ctx, p["cv1"], x)
+    y = qconv_a(ctx, p["cv2"], y)
+    if shortcut and _ch(x) == _ch(y):
+        return ctx.add(x, y)
+    return y
+
+
+def qc3k_a(ctx, p, x, shortcut=True):
+    y1 = qconv_a(ctx, p["cv1"], x)
+    y2 = qconv_a(ctx, p["cv2"], x)
+    for b in p["m"]:
+        y1 = qbottleneck_a(ctx, b, y1, shortcut)
+    return qconv_a(ctx, p["cv3"], ctx.concat([y1, y2]))
+
+
+def qc3k2_a(ctx, p, x, shortcut=True):
+    y = qconv_a(ctx, p["cv1"], x)
+    c_ = _ch(y) // 2
+    parts = ctx.split(y, (c_, c_))
+    cur = parts[1]
+    for b in p["m"]:
+        cur = (qc3k_a(ctx, b, cur, shortcut) if "cv3" in b
+               else qbottleneck_a(ctx, b, cur, shortcut))
+        parts.append(cur)
+    return qconv_a(ctx, p["cv2"], ctx.concat(parts))
+
+
+def qsppf_a(ctx, p, x, k: int = 5):
+    y = qconv_a(ctx, p["cv1"], x)
+    p1 = ctx.maxpool(y, k)
+    p2 = ctx.maxpool(p1, k)
+    p3 = ctx.maxpool(p2, k)
+    return qconv_a(ctx, p["cv2"], ctx.concat([y, p1, p2, p3]))
+
+
+def qc2psa_a(ctx, p, x):
+    """C2PSA attention stack as a float island: softmax/einsum attention
+    stays in the model dtype (TRT likewise leaves these layers fp16 in an
+    int8 engine), re-entering the chain at the exit."""
+    xf = ctx.to_float(x)
+    y = B.c2psa_a(p, xf)
+    return ctx.from_float(y)
+
+
+def qdet_head_lv(ctx, q, r, f):
+    """One detect-head level (box cv2 + cls cv3 branches) on a chain
+    tensor; final 1×1s emit float logits (the decode tail's inputs)."""
+    y = qconv_a(ctx, q["a"], f)
+    y = qconv_a(ctx, q["b"], y)
+    box = ctx.conv_out(y, q["c"]["w"], q["c"]["b"])
+    z = ctx.dwconv(f, r["a0"]["w"], r["a0"]["b"])
+    z = qconv_a(ctx, r["a1"], z)
+    z = ctx.dwconv(z, r["b0"]["w"], r["b0"]["b"])
+    z = qconv_a(ctx, r["b1"], z)
+    cls = ctx.conv_out(z, r["c"]["w"], r["c"]["b"])
+    return box, cls
+
+
+def qdet_head_lv_bp(ctx, q, r, ff, f):
+    """Folded-tensor variant of qdet_head_lv (block-diagonal weights)."""
+    y = qconv_a(ctx, B.bp_conv_p(q["a"], f), ff)
+    y = qconv_a(ctx, B.bp_conv_p(q["b"], f), y)
+    box = ctx.conv_out(y, nn.bp_conv_weights(q["c"]["w"], f),
+                       nn.bp_bias(q["c"]["b"], f))
+    rp = B.bp_dwconv_p(r["a0"], f)
+    z = ctx.dwconv(ff, rp["w"], rp["b"])
+    z = qconv_a(ctx, B.bp_conv_p(r["a1"], f), z)
+    rp = B.bp_dwconv_p(r["b0"], f)
+    z = ctx.dwconv(z, rp["w"], rp["b"])
+    z = qconv_a(ctx, B.bp_conv_p(r["b1"], f), z)
+    cls = ctx.conv_out(z, nn.bp_conv_weights(r["c"]["w"], f),
+                       nn.bp_bias(r["c"]["b"], f))
+    return box, cls

@@ -429,6 +429,88 @@ apply_s2d.factor = 4  # letterbox_s2d factor this entry point consumes
 apply_s2d.supports = lambda cfg: cfg.task != "cls"
 
 
+def apply_chain(params, x4, cfg: Yolo11Cfg, ctx, f: int = 2):
+    """Int8-resident chain mirror of `_apply_s2d_folded` (det task).
+
+    Same structure as the bf16 batch-phase serving path — s2d stem, f=2
+    batch-fold through the lane-starved stages, C2PSA float island, folded
+    P3/P4 heads — but every conv is int8×int8→int32 with a fused
+    dequant+bias+SiLU+requant epilogue, and every activation crosses HBM
+    as int8 (ops/qchain.py; the TensorRT int8-engine contract,
+    yolo11/README.md USE_INT8). `ctx` is an ops.qchain.ChainCtx: tap mode
+    runs this same body in float for calibration, run mode serves int8.
+    Requires an even batch ≥ 2 (the f=2 fold).
+    """
+    import tensorrtx_tpu.models._yolo_qchain as Q
+
+    assert cfg.task == "det", "chained int8 covers the det serving path"
+    bb = params["backbone"]
+    enter = getattr(ctx, "enter", "stem")
+    if enter == "m3":
+        # Hybrid entry: the 160² stem/m2 stage stays bf16 (folded) — at
+        # small C XLA's s8 layout assignment oscillates between W-minor
+        # and C-minor and the s32 accumulator copies eat the int8 gain
+        # (trace: ~75 µs/img of s32/s8 copies at 160², PERF.md §INT8) —
+        # and the chain starts where C ≥ 64 fills the int8 tiles.
+        xf = nn.batch_fold(x4, f)
+        w4, p4s = nn.s2d4_conv_weights(bb["m0"]["w"])
+        y1 = nn.silu(nn.conv2d_s2d4(xf, (nn.bp_conv_weights(w4, f), p4s),
+                                    None)
+                     + jnp.tile(jnp.tile(bb["m0"]["b"], 4), f))
+        w2, p2s = nn.s2d_conv_weights(bb["m1"]["w"])
+        x1 = nn.silu(nn.conv2d_s2d(y1, (nn.bp_conv_weights(w2, f), p2s),
+                                   nn.bp_bias(bb["m1"]["b"], f)))
+        xfl = B.c3k2_a(B.bp_c3k2_p(bb["m2"], f), x1)
+        x = ctx.quant_in(xfl)
+    else:
+        x = ctx.quant_in(nn.batch_fold(x4, f))
+        w4, p4s = nn.s2d4_conv_weights(bb["m0"]["w"])
+        x = ctx.conv(x, nn.bp_conv_weights(w4, f),
+                     jnp.tile(jnp.tile(bb["m0"]["b"], 4), f),
+                     pads=((p4s[0], p4s[1]), (p4s[0], p4s[1])))
+        w2, p2s = nn.s2d_conv_weights(bb["m1"]["w"])
+        x = ctx.conv(x, nn.bp_conv_weights(w2, f),
+                     nn.bp_bias(bb["m1"]["b"], f),
+                     pads=((p2s[0], p2s[1]), (p2s[0], p2s[1])))
+        x = Q.qc3k2_a(ctx, B.bp_c3k2_p(bb["m2"], f), x)
+    x = Q.qconv_a(ctx, B.bp_conv_p(bb["m3"], f), x, stride=2)
+    c4f = Q.qc3k2_a(ctx, B.bp_c3k2_p(bb["m4"], f), x)
+    x = ctx.map_q(Q.qconv_a(ctx, B.bp_conv_p(bb["m5"], f), c4f, stride=2),
+                  lambda q: nn.batch_unfold(q, f))
+    c6 = Q.qc3k2_a(ctx, bb["m6"], x)
+    x = Q.qc3k2_a(ctx, bb["m8"], Q.qconv_a(ctx, bb["m7"], c6, stride=2))
+    p = params["neck"]
+    p5_in = Q.qc2psa_a(ctx, p["m10"], Q.qsppf_a(ctx, p["m9"], x))
+    u = ctx.upsample(p5_in)
+    p4m_f = Q.qc3k2_a(ctx, B.bp_c3k2_p(p["m13"], f),
+                      ctx.map_q(ctx.concat([u, c6]),
+                                lambda q: nn.batch_fold(q, f)))
+    uf = ctx.upsample(p4m_f)
+    w_u = p["m13"]["cv2"]["w"].shape[-1]
+    w_c4 = bb["m5"]["w"].shape[-1]
+    p3f = Q.qc3k2_a(ctx, B.bp_c3k2_p(p["m16"], f, in_segments=(w_u, w_c4)),
+                    ctx.concat([uf, c4f]))
+    xf = Q.qconv_a(ctx, B.bp_conv_p(p["m17"], f), p3f, stride=2)
+    w_17 = p["m17"]["w"].shape[-1]
+    p4f = Q.qc3k2_a(ctx, B.bp_c3k2_p(p["m19"], f, in_segments=(w_17, w_u)),
+                    ctx.concat([xf, p4m_f]))
+    p4 = ctx.map_q(p4f, lambda q: nn.batch_unfold(q, f))
+    x = Q.qconv_a(ctx, p["m20"], p4, stride=2)
+    p5 = Q.qc3k2_a(ctx, p["m22"], ctx.concat([x, p5_in]))
+
+    h = params["head"]
+    b3, c3 = Q.qdet_head_lv_bp(ctx, h["cv2"][0], h["cv3"][0], p3f, f)
+    b4, c4l = Q.qdet_head_lv_bp(ctx, h["cv2"][1], h["cv3"][1], p4f, f)
+    b5, c5 = Q.qdet_head_lv(ctx, h["cv2"][2], h["cv3"][2], p5)
+    box_lv = [nn.batch_unfold(b3, f), nn.batch_unfold(b4, f), b5]
+    cls_lv = [nn.batch_unfold(c3, f), nn.batch_unfold(c4l, f), c5]
+    return _decode_det(params, box_lv, cls_lv, cfg)
+
+
+apply_chain.factor = 4
+apply_chain.supports = lambda cfg: cfg.task == "det"
+
+
 def _apply_from_feats3(params, feats3, cfg: Yolo11Cfg):
     p3, p4, p5 = _neck_a(params["neck"], *feats3)
     feats = [p3, p4, p5]
@@ -524,5 +606,6 @@ register(ModelDef(
     default_cfg=_default_cfg,
     input_shape=_input_shape,
     apply_s2d=apply_s2d,
+    apply_chain=apply_chain,
     doc="YOLO11 det/seg/pose/obb/cls (reference: yolo11/)",
 ))

@@ -94,19 +94,24 @@ def chain_int8_resident(xq, wq, b, sx, sw, n):
 def bench(fn, args, iters=50):
     from tensorrtx_tpu.core.runner import bench_marginal
 
-    # stream K calls per dispatch so we read chip time, not dispatch RPC
+    # Stream K calls per dispatch so we read chip time, not dispatch RPC.
+    # The first arg (the activation) is scanned over a K-stack so the body
+    # is NOT loop-invariant — with identical args per step XLA hoists the
+    # whole chain out of the scan and the timing reads 1 iteration as K.
     K = 8
+    x0, rest = args[0], args[1:]
+    xs = jnp.stack([x0 + i * jnp.zeros_like(x0) for i in range(K)])
 
-    def stream(*a):
-        def body(c, _):
-            out = fn(*a)
+    def stream(xs_, *a):
+        def body(c, x):
+            out = fn(x, *a)
             return c + jnp.sum(out.astype(jnp.float32)), None
-        acc, _ = lax.scan(body, jnp.float32(0), None, length=K)
+        acc, _ = lax.scan(body, jnp.float32(0), xs_)
         return acc
 
     sfn = jax.jit(stream)
-    vals = [bench_marginal(sfn, [tuple(args)] * 4, n_small=5, n_large=20)[
-        "iter_ms"] / K for _ in range(3)]
+    vals = [bench_marginal(sfn, [(xs,) + tuple(rest)] * 4, n_small=5,
+                           n_large=20)["iter_ms"] / K for _ in range(3)]
     return float(np.median(vals))
 
 
