@@ -185,7 +185,7 @@ def _apply_from_x1(params, x1, cfg: Yolov5Cfg):
         # fusions were ~620 µs of a 1.3 ms yolov5-n program on v5e)
         raw = raw.reshape(b, h * w_ * 3, 5 + extra + nc)
         pts, _ = D.make_anchor_grid(h * strides[i], w_ * strides[i], (strides[i],))
-        pts3 = jnp.repeat(pts, 3, axis=0)                   # (h·w·3, 2)
+        pts3 = np.repeat(pts, 3, axis=0)                    # (h·w·3, 2) const
         anc = params["anchors"][i].astype(jnp.float32)      # (3, 2)
         anc3 = jnp.tile(anc, (h * w_, 1))                   # (h·w·3, 2)
         sxywh = jax.nn.sigmoid(raw[..., 0:4].astype(jnp.float32))

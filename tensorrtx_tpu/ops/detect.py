@@ -36,16 +36,21 @@ def make_anchor_grid(input_h: int, input_w: int, strides: Sequence[int]):
     Order matches the reference's level-major, row-major layout.
     Returns (points (N,2) float32, strides_flat (N,) float32).
     """
+    import numpy as _np
+
+    # pure numpy on static shapes: the grids embed as jit CONSTANTS —
+    # as traced jnp ops XLA materialized them at runtime (an 8 µs/img
+    # anchor broadcast in the yolov5-n batch-1 program)
     pts = []
     sts = []
     for s in strides:
         gh, gw = input_h // s, input_w // s
-        ys, xs = jnp.meshgrid(jnp.arange(gh, dtype=jnp.float32),
-                              jnp.arange(gw, dtype=jnp.float32), indexing="ij")
-        p = jnp.stack([xs + 0.5, ys + 0.5], axis=-1).reshape(-1, 2)
+        ys, xs = _np.meshgrid(_np.arange(gh, dtype=_np.float32),
+                              _np.arange(gw, dtype=_np.float32), indexing="ij")
+        p = _np.stack([xs + 0.5, ys + 0.5], axis=-1).reshape(-1, 2)
         pts.append(p)
-        sts.append(jnp.full((gh * gw,), float(s), jnp.float32))
-    return jnp.concatenate(pts, 0), jnp.concatenate(sts, 0)
+        sts.append(_np.full((gh * gw,), float(s), _np.float32))
+    return _np.concatenate(pts, 0), _np.concatenate(sts, 0)
 
 
 def decode_boxes_ltrb(ltrb: Array, points: Array, strides_flat: Array) -> Array:
@@ -146,10 +151,16 @@ def anchor_decode_level_flat(raw, anchors, stride, nc: int,
     the monotone-sigmoid max-logit trick (see best_class)."""
     import jax
 
+    import numpy as _np
+
     b, h, w, _ = raw.shape
     r = raw.reshape(b, h * w * 3, 5 + nc)
-    cols = jnp.repeat(jnp.tile(jnp.arange(w, dtype=jnp.float32), h), 3)
-    rows = jnp.repeat(jnp.repeat(jnp.arange(h, dtype=jnp.float32), w), 3)
+    # numpy on static shapes → jit constants (traced grids materialized as
+    # runtime broadcasts in the batch-1 programs)
+    cols = jnp.asarray(_np.repeat(_np.tile(
+        _np.arange(w, dtype=_np.float32), h), 3))
+    rows = jnp.asarray(_np.repeat(_np.repeat(
+        _np.arange(h, dtype=_np.float32), w), 3))
     anc3 = jnp.tile(anchors.astype(jnp.float32), (h * w, 1))
     sxy = jax.nn.sigmoid(r[..., 0:2].astype(jnp.float32))
     if power:
