@@ -247,6 +247,7 @@ class ChainedInt8Engine:
         self.model, self.cfg, self.name = model, cfg, engine.name
         self.precision = "int8_chained"
         self.factor = chain.factor
+        self.bgr_to_rgb = bgr_to_rgb
         # fold: batch-phase factor (2 for b16-64 serving; 1 = unfolded, the
         # b128 winner — chained int8 4757 vs bf16 4417 img/s on v5e).
         # enter: "stem" chains from the first conv; "m3" leaves the 160²
@@ -258,9 +259,7 @@ class ChainedInt8Engine:
         dtype = jnp.bfloat16
 
         def _ctx(mode, **kw):
-            c = qchain.ChainCtx(mode, **kw)
-            c.enter = enter
-            return c
+            return qchain.ChainCtx(mode, enter=enter, **kw)
 
         # 1. collect conv weights: one eager tap pass on CPU (B=2 zeros —
         # the fold needs an even batch; weights are input-independent)
@@ -301,14 +300,29 @@ class ChainedInt8Engine:
         """frame_batches: uint8 (B, srcH, srcW, 3) arrays, B even ≥ 2."""
         absmax = None
         for fr in frame_batches:
+            self._check_batch(fr)
             b, sh, sw_, _ = fr.shape
             hw = jnp.tile(jnp.asarray([[sh, sw_]], jnp.int32), (b, 1))
             taps = self._tap_jit(self.engine.params,
                                  jnp.asarray(fr, jnp.uint8), hw)
             cur = np.array([np.asarray(t) for t in taps])
             absmax = cur if absmax is None else np.maximum(absmax, cur)
+        if absmax is None:
+            raise ValueError(
+                "calibrate() received no frame batches — pass at least one "
+                "uint8 (B, H, W, 3) array with B even and >= 2")
         self.act_scales = np.maximum(absmax / 127.0, 1e-8).astype(np.float32)
         return self.act_scales
+
+    def _check_batch(self, fr) -> None:
+        if fr.ndim != 4 or fr.shape[-1] != 3:
+            raise ValueError(f"expected (B, H, W, 3) uint8 frames, got "
+                             f"shape {tuple(fr.shape)}")
+        b = fr.shape[0]
+        if b < 2 or b % max(self.fold, 1) != 0:
+            raise ValueError(
+                f"frame batch size {b} must be >= 2 and divisible by the "
+                f"batch-fold factor {self.fold} (batch_fold reshape)")
 
     def serve_args(self):
         """(params, wq, scales) leading args for the traceable serving fn."""
@@ -321,6 +335,7 @@ class ChainedInt8Engine:
 
     def __call__(self, frames, src_hw=None):
         frames = jnp.asarray(frames, jnp.uint8)
+        self._check_batch(frames)
         if src_hw is None:
             b = frames.shape[0]
             src_hw = jnp.tile(jnp.asarray(
@@ -329,18 +344,23 @@ class ChainedInt8Engine:
                             jnp.asarray(src_hw, jnp.int32))
 
     def save(self, path: str) -> None:
+        if self.act_scales is None:
+            raise ValueError("save() before calibrate(): the chained engine "
+                             "has no activation scales to serialize")
         self.engine.save(path)
         save_scale_cache(os.path.join(path, "int8chain.json"),
                          self.act_scales,
                          {"model": self.name, "tier": "chained",
-                          "fold": self.fold, "enter": self.enter})
+                          "fold": self.fold, "enter": self.enter,
+                          "bgr_to_rgb": self.bgr_to_rgb})
 
     @staticmethod
     def load(path: str) -> "ChainedInt8Engine":
         eng = Engine.load(path)
         with open(os.path.join(path, "int8chain.json")) as fh:
             meta = json.load(fh).get("meta", {})
-        ce = ChainedInt8Engine(eng, fold=meta.get("fold", 2),
+        ce = ChainedInt8Engine(eng, bgr_to_rgb=meta.get("bgr_to_rgb", False),
+                               fold=meta.get("fold", 2),
                                enter=meta.get("enter", "m3"))
         ce.act_scales = load_scale_cache(
             os.path.join(path, "int8chain.json"))

@@ -445,8 +445,7 @@ def apply_chain(params, x4, cfg: Yolo11Cfg, ctx, f: int = 2):
 
     assert cfg.task == "det", "chained int8 covers the det serving path"
     bb = params["backbone"]
-    enter = getattr(ctx, "enter", "stem")
-    if enter == "m3":
+    if ctx.enter == "m3":
         # Hybrid entry: the 160² stem/m2 stage stays bf16 (folded) — at
         # small C XLA's s8 layout assignment oscillates between W-minor
         # and C-minor and the s32 accumulator copies eat the int8 gain

@@ -71,13 +71,23 @@ class ChainCtx:
     slot order.
     """
 
+    # Single shared default for the chain entry point: "m3" = hybrid entry
+    # (bf16 160² stem/m2, chain from m3 — the measured winner, PERF.md
+    # §INT8); "stem" = chain from the first conv. ChainedInt8Engine and any
+    # hand-built calibration ctx MUST agree on this or slot counts differ —
+    # hence one default here and apply_chain reading ctx.enter directly.
+    DEFAULT_ENTER = "m3"
+
     def __init__(self, mode: str, scales=None, wq: Optional[List] = None,
-                 sw: Optional[List] = None, dtype=jnp.bfloat16):
+                 sw: Optional[List] = None, dtype=jnp.bfloat16,
+                 enter: str = DEFAULT_ENTER):
         assert mode in ("tap", "run")
+        assert enter in ("stem", "m3"), enter
         self.mode = mode
         self.scales = scales
         self.wq = wq
         self.sw = sw
+        self.enter = enter
         self.dtype = dtype
         self.taps: List = []
         self.ws: List = []

@@ -46,12 +46,6 @@ N_LAYERS = 8
 DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _conv(x, w, dtype):
-    return lax.conv_general_dilated(
-        x, w.astype(dtype), (1, 1), [(1, 1), (1, 1)], dimension_numbers=DN,
-        preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None)
-
-
 @functools.partial(jax.jit, static_argnames=("n",))
 def chain_bf16(x, w, b, n):
     for i in range(n):
@@ -95,12 +89,15 @@ def bench(fn, args, iters=50):
     from tensorrtx_tpu.core.runner import bench_marginal
 
     # Stream K calls per dispatch so we read chip time, not dispatch RPC.
-    # The first arg (the activation) is scanned over a K-stack so the body
-    # is NOT loop-invariant — with identical args per step XLA hoists the
-    # whole chain out of the scan and the timing reads 1 iteration as K.
+    # The first arg (the activation) is scanned over a K-stack; because the
+    # stack enters the jitted stream as a *traced argument*, the per-step
+    # slice is not a loop constant and XLA cannot hoist the chain out of
+    # the scan (with the chain as a closed-over constant it did, and the
+    # timing read 1 iteration as K). The K slices carry identical values —
+    # that is fine; hoisting is blocked by tracing, not by value diversity.
     K = 8
     x0, rest = args[0], args[1:]
-    xs = jnp.stack([x0 + i * jnp.zeros_like(x0) for i in range(K)])
+    xs = jnp.broadcast_to(x0[None], (K,) + x0.shape)
 
     def stream(xs_, *a):
         def body(c, x):
