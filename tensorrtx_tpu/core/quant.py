@@ -250,11 +250,23 @@ class ChainedInt8Engine:
         self.bgr_to_rgb = bgr_to_rgb
         # fold: batch-phase factor (2 for b16-64 serving; 1 = unfolded, the
         # b128 winner — chained int8 4757 vs bf16 4417 img/s on v5e).
-        # enter: "stem" chains from the first conv; "m3" leaves the 160²
-        # stem/m2 stage bf16 (XLA s8 layout oscillation there, see
-        # models/yolo11.apply_chain).
+        # Chains that don't fold (detr: C ≥ 256 everywhere, lanes already
+        # full) declare `folds`; requests outside it clamp to the max.
+        # enter: "stem" chains from the first conv; "m3" is the generic
+        # hybrid-entry token — the model leaves its large-grid/small-C
+        # prefix bf16 (XLA s8 layout oscillation there, see
+        # models/yolo11.apply_chain, models/resnet.backbone_chain).
+        folds = getattr(chain, "folds", (1, 2))
+        if fold not in folds:
+            fold = max(folds)
         self.fold, self.enter = fold, enter
-        h, w, _ = model.input_shape(cfg)
+        h, w, c = model.input_shape(cfg)
+        if c != 3:
+            # input_shape is already a g×g space-to-depth tensor (detr's
+            # s2d2 contract): recover the full-res frame dims
+            g = int(round((c / 3) ** 0.5))
+            assert 3 * g * g == c, f"non-RGB input shape {(h, w, c)}"
+            h, w = h * g, w * g
         self._dst = (h, w)
         dtype = jnp.bfloat16
 
@@ -319,10 +331,10 @@ class ChainedInt8Engine:
             raise ValueError(f"expected (B, H, W, 3) uint8 frames, got "
                              f"shape {tuple(fr.shape)}")
         b = fr.shape[0]
-        if b < 2 or b % max(self.fold, 1) != 0:
+        if b < max(self.fold, 1) or b % max(self.fold, 1) != 0:
             raise ValueError(
-                f"frame batch size {b} must be >= 2 and divisible by the "
-                f"batch-fold factor {self.fold} (batch_fold reshape)")
+                f"frame batch size {b} must be >= {self.fold} and divisible "
+                f"by the batch-fold factor {self.fold} (batch_fold reshape)")
 
     def serve_args(self):
         """(params, wq, scales) leading args for the traceable serving fn."""

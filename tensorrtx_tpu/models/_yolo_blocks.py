@@ -389,9 +389,13 @@ def bp_bottleneck_p(p, f):
     return {"cv1": bp_conv_p(p["cv1"], f), "cv2": bp_conv_p(p["cv2"], f)}
 
 
-def bp_c3k_p(p, f):
+def bp_c3k_p(p, f, in_segments=None):
+    """in_segments: per-image widths when the stage input is a concat of
+    folded tensors (the v5 neck's upsample-lateral concats feed C3 stages
+    directly — both cv1 and cv2 read the concat)."""
     c_ = p["cv1"]["w"].shape[-1]
-    return {"cv1": bp_conv_p(p["cv1"], f), "cv2": bp_conv_p(p["cv2"], f),
+    return {"cv1": bp_conv_p(p["cv1"], f, in_segments=in_segments),
+            "cv2": bp_conv_p(p["cv2"], f, in_segments=in_segments),
             "cv3": bp_conv_p(p["cv3"], f, in_segments=(c_, c_)),
             "m": [bp_bottleneck_p(b, f) for b in p["m"]]}
 

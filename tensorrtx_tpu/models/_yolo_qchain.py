@@ -75,6 +75,29 @@ def qc2psa_a(ctx, p, x):
     return ctx.from_float(y)
 
 
+# c2f (yolov8) and C3 (yolov5) params run through the c3k2/c3k mirrors
+# unchanged — same dataflow, kernel sizes live in the weights (the float
+# twins are aliased the same way in _yolo_blocks: c3_a = c3k_a).
+qc2f_a = qc3k2_a
+qc3_a = qc3k_a
+
+
+def qbranch3(ctx, p, x):
+    """Plain a→b conv pair + 1×1 float-out head branch (yolov8's cv2 AND
+    cv3 branches — v8 has no dwconv in the cls branch, unlike yolo11)."""
+    y = qconv_a(ctx, p["a"], x)
+    y = qconv_a(ctx, p["b"], y)
+    return ctx.conv_out(y, p["c"]["w"], p["c"]["b"])
+
+
+def qbranch3_bp(ctx, p, x, f):
+    """Folded-tensor qbranch3 (block-diagonal weights)."""
+    y = qconv_a(ctx, B.bp_conv_p(p["a"], f), x)
+    y = qconv_a(ctx, B.bp_conv_p(p["b"], f), y)
+    return ctx.conv_out(y, nn.bp_conv_weights(p["c"]["w"], f),
+                        nn.bp_bias(p["c"]["b"], f))
+
+
 def qdet_head_lv(ctx, q, r, f):
     """One detect-head level (box cv2 + cls cv3 branches) on a chain
     tensor; final 1×1s emit float logits (the decode tail's inputs)."""

@@ -144,19 +144,55 @@ def apply(params, x, cfg: DETRCfg):
     feat = backbone_apply(params["backbone"], x, cfg.variant,
                           stem_s2d=True)                          # (B,h,w,2048)
     src = nn.conv2d(feat, params["input_proj"]["w"], params["input_proj"]["b"])
+    return _transformer_tail(params, src, cfg)
+
+
+def apply_chain(params, x2, cfg: DETRCfg, ctx, f: int = 1):
+    """Int8-resident chain mirror: the ResNet backbone runs chained
+    (models/resnet.backbone_chain — conv+add+relu fused epilogues,
+    activations cross HBM as int8), the transformer is a float island.
+    Mirrors the reference's int8 DETR engine, where the conv backbone is
+    the int8 region and attention stays fp16 (detr/README.md:86 int8 rows;
+    ops/qchain.py for the formulation). No batch fold (C ≥ 256 everywhere
+    in the chained region — lanes are already full)."""
+    from tensorrtx_tpu.models.resnet import backbone_chain
+
+    x2 = x2 if x2.shape[-1] == 12 else nn.space_to_depth2(x2)
+    feat = backbone_chain(ctx, params["backbone"], x2, cfg.variant)
+    src = ctx.conv_out(feat, params["input_proj"]["w"],
+                       params["input_proj"]["b"])
+    return _transformer_tail(params, src, cfg)
+
+
+apply_chain.factor = 2
+apply_chain.folds = (1,)
+apply_chain.supports = lambda cfg: True
+
+
+def _enc_layer(lp, y, pos, nhead):
+    """One post-norm encoder layer (detr.cpp EncoderLayer:262)."""
+    qk = y + pos
+    y2 = _mha(lp["attn"], qk, qk, y, nhead)
+    y = nn.layer_norm(y + y2, lp["n1"]["g"], lp["n1"]["b"], 1e-5)
+    y2 = nn.linear(jax.nn.relu(nn.linear(y, lp["l1"]["w"], lp["l1"]["b"])),
+                   lp["l2"]["w"], lp["l2"]["b"])
+    return nn.layer_norm(y + y2, lp["n2"]["g"], lp["n2"]["b"], 1e-5)
+
+
+def _transformer_tail(params, src, cfg: DETRCfg):
     b, h, w, d = src.shape
     src = src.reshape(b, h * w, d)
     pos = params["pos"].astype(src.dtype)[None]                  # (1, hw, d)
 
     y = src
     for lp in params["enc"]:
-        qk = y + pos
-        y2 = _mha(lp["attn"], qk, qk, y, cfg.nhead)
-        y = nn.layer_norm(y + y2, lp["n1"]["g"], lp["n1"]["b"], 1e-5)
-        y2 = nn.linear(jax.nn.relu(nn.linear(y, lp["l1"]["w"], lp["l1"]["b"])),
-                       lp["l2"]["w"], lp["l2"]["b"])
-        y = nn.layer_norm(y + y2, lp["n2"]["g"], lp["n2"]["b"], 1e-5)
-    memory = y
+        y = _enc_layer(lp, y, pos, cfg.nhead)
+    return _decoder_tail(params, y, pos, cfg)
+
+
+def _decoder_tail(params, memory, pos, cfg: DETRCfg):
+    b, _, d = memory.shape
+    src = memory
 
     qpos = params["query"].astype(src.dtype)[None]               # (1, nq, d)
     tgt = jnp.zeros((b, cfg.num_queries, d), src.dtype)
@@ -180,10 +216,51 @@ def apply(params, x, cfg: DETRCfg):
     return {"scores": scores, "boxes": boxes}
 
 
+def gpipe_split(params, cfg: DETRCfg, n_stages: int):
+    """GPipe stage split (parallel/gpipe.gpipe_serving_step, `cli run
+    --pp`): the ResNet backbone + input_proj run replicated (pre), the
+    uniform encoder stack pipelines one contiguous layer group per chip,
+    the decoder + heads run replicated (post). The sine position embedding
+    is a build-time constant closed over by every stage. Numerically
+    identical to apply()."""
+    if cfg.enc_layers % n_stages:
+        raise ValueError(f"detr enc_layers {cfg.enc_layers} not divisible "
+                         f"by pp={n_stages}")
+    g = cfg.enc_layers // n_stages
+    per_stage = [jax.tree.map(lambda *ls: jnp.stack(ls),
+                              *params["enc"][s * g:(s + 1) * g])
+                 for s in range(n_stages)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *per_stage)
+    pos_c = np.asarray(params["pos"])
+
+    def pre(p, x):
+        feat = backbone_apply(p["backbone"], x, cfg.variant, stem_s2d=True)
+        src = nn.conv2d(feat, p["input_proj"]["w"], p["input_proj"]["b"])
+        b, h, w, d = src.shape
+        return src.reshape(b, h * w, d)
+
+    def stage_fn(sp, y):
+        pos = jnp.asarray(pos_c, y.dtype)[None]
+
+        def body(carry, lp):
+            return _enc_layer(lp, carry, pos, cfg.nhead), None
+
+        y, _ = jax.lax.scan(body, y, sp)
+        return y
+
+    def post(p, memory):
+        pos = jnp.asarray(pos_c, memory.dtype)[None]
+        return _decoder_tail(p, memory, pos, cfg)
+
+    return pre, stage_fn, stacked, post
+
+
 register(ModelDef(
     name="detr",
     build_params=build_params,
     apply=apply,
+    apply_chain=apply_chain,
+    gpipe_split=gpipe_split,
     default_cfg=DETRCfg,
     input_shape=lambda cfg: ((cfg.input_h // 2, cfg.input_w // 2, 12)
                              if cfg.input_format == "s2d2"

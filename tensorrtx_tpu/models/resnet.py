@@ -116,24 +116,85 @@ def backbone_apply(params, x, variant: str, return_stages=False,
     y = nn.max_pool(y, 3, 2, 1)
     outs = []
     for li, blocks in enumerate(params["stages"]):
-        stride = 1 if li == 0 else 2
-        for bi, bp in enumerate(blocks):
-            s = stride if bi == 0 else 1
-            identity = y
-            if block == "basic":
-                z = jax.nn.relu(nn.conv2d(y, bp["conv1"]["w"], bp["conv1"]["b"],
-                                          stride=s, padding=1))
-                z = nn.conv2d(z, bp["conv2"]["w"], bp["conv2"]["b"], padding=1)
-            else:
-                z = jax.nn.relu(nn.conv2d(y, bp["conv1"]["w"], bp["conv1"]["b"]))
-                z = jax.nn.relu(nn.conv2d(z, bp["conv2"]["w"], bp["conv2"]["b"],
-                                          stride=s, padding=1, groups=groups))
-                z = nn.conv2d(z, bp["conv3"]["w"], bp["conv3"]["b"])
-            if "down" in bp:
-                identity = nn.conv2d(y, bp["down"]["w"], bp["down"]["b"], stride=s)
-            y = jax.nn.relu(z + identity)
+        y = _stage_a(blocks, y, block, groups, li)
         outs.append(y)
     return outs if return_stages else y
+
+
+def _stage_a(blocks, y, block, groups, li):
+    """One residual stage (shared by backbone_apply and the chain mirror's
+    float prefix)."""
+    stride = 1 if li == 0 else 2
+    for bi, bp in enumerate(blocks):
+        s = stride if bi == 0 else 1
+        identity = y
+        if block == "basic":
+            z = jax.nn.relu(nn.conv2d(y, bp["conv1"]["w"], bp["conv1"]["b"],
+                                      stride=s, padding=1))
+            z = nn.conv2d(z, bp["conv2"]["w"], bp["conv2"]["b"], padding=1)
+        else:
+            z = jax.nn.relu(nn.conv2d(y, bp["conv1"]["w"], bp["conv1"]["b"]))
+            z = jax.nn.relu(nn.conv2d(z, bp["conv2"]["w"], bp["conv2"]["b"],
+                                      stride=s, padding=1, groups=groups))
+            z = nn.conv2d(z, bp["conv3"]["w"], bp["conv3"]["b"])
+        if "down" in bp:
+            identity = nn.conv2d(y, bp["down"]["w"], bp["down"]["b"], stride=s)
+        y = jax.nn.relu(z + identity)
+    return y
+
+
+def _qstage(ctx, blocks, y, block, li):
+    """One residual stage on an int8 chain tensor (ops/qchain.py): every
+    conv is int8×int8→int32 with a fused epilogue; the block exit is the
+    conv+add+relu fusion (ctx.conv_add) — the structure a TensorRT int8
+    ResNet engine builds (resnet/resnet50.cpp bottleneck + the int8
+    builder flag path)."""
+    stride = 1 if li == 0 else 2
+    for bi, bp in enumerate(blocks):
+        s = stride if bi == 0 else 1
+        identity = y
+        if "down" in bp:
+            identity = ctx.conv(y, bp["down"]["w"], bp["down"]["b"],
+                                act=None, stride=s)
+        if block == "basic":
+            z = ctx.conv(y, bp["conv1"]["w"], bp["conv1"]["b"], act="relu",
+                         stride=s)
+            y = ctx.conv_add(z, bp["conv2"]["w"], bp["conv2"]["b"], identity)
+        else:
+            z = ctx.conv(y, bp["conv1"]["w"], bp["conv1"]["b"], act="relu")
+            z = ctx.conv(z, bp["conv2"]["w"], bp["conv2"]["b"], act="relu",
+                         stride=s)
+            y = ctx.conv_add(z, bp["conv3"]["w"], bp["conv3"]["b"], identity)
+    return y
+
+
+def backbone_chain(ctx, params, x2, variant: str):
+    """Int8-resident chain mirror of `backbone_apply(stem_s2d=True)` —
+    consumes the 2×2 space-to-depth input, returns the final stage's chain
+    tensor. `ctx.enter`: "m3" (the generic hybrid-entry token) leaves the
+    stem + layer1 in float — at 400²/200² the C≤64 stages hit XLA's s8
+    layout oscillation (PERF.md §INT8) — and chains from layer2 where
+    C ≥ 512 fills the int8 tiles; "stem" chains from the first conv."""
+    block, layers, groups, _ = VARIANTS[variant]
+    assert groups == 1, "chained int8 covers the non-grouped variants"
+    w2p = nn.s2d_conv_weights(params["stem"]["w"], padding=3)
+    if ctx.enter == "m3":
+        y = jax.nn.relu(nn.conv2d_s2d(x2, w2p, params["stem"]["b"]))
+        y = nn.max_pool(y, 3, 2, 1)
+        y = _stage_a(params["stages"][0], y, block, groups, 0)
+        y = ctx.quant_in(y)
+        start = 1
+    else:
+        y = ctx.quant_in(x2)
+        w2, (pb, pa) = w2p
+        y = ctx.conv(y, w2, params["stem"]["b"], act="relu",
+                     pads=((pb, pa), (pb, pa)))
+        y = ctx.maxpool(y, 3, stride=2, pad=1)
+        y = _qstage(ctx, params["stages"][0], y, block, 0)
+        start = 1
+    for li in range(start, len(params["stages"])):
+        y = _qstage(ctx, params["stages"][li], y, block, li)
+    return y
 
 
 def apply(params, x, cfg: ResNetCfg):

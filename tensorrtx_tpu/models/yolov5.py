@@ -151,6 +151,84 @@ apply_s2d.factor = 4
 apply_s2d.supports = lambda cfg: cfg.task != "cls"
 
 
+def apply_chain(params, x4, cfg: Yolov5Cfg, ctx, f: int = 2):
+    """Int8-resident chain mirror of the v5 det serving path — the anchor
+    -based family's chained tier (see models/yolo11.apply_chain for the
+    design; ops/qchain.py for the formulation). The reference ships int8
+    calibration for every yolov5 engine (yolov5/src/calibrator.cpp,
+    yolov5/README int8 rows); here the conv epilogues requantize to the
+    consumer's scale so activations cross HBM as int8. Det task only;
+    even batch ≥ 2 (the f=2 fold). `ctx.enter`: "m3" keeps the 160²
+    stem/m2 stage bf16, "stem" chains everything."""
+    import tensorrtx_tpu.models._yolo_qchain as Q
+
+    assert cfg.task == "det", "chained int8 covers the det serving path"
+    if ctx.enter == "m3":
+        xf = nn.batch_fold(x4, f)
+        w4, p4s = nn.s2d4_conv_weights(params["m0"]["w"], 2)  # 6×6 p2 stem
+        y1 = nn.silu(nn.conv2d_s2d4(xf, (nn.bp_conv_weights(w4, f), p4s),
+                                    None)
+                     + jnp.tile(jnp.tile(params["m0"]["b"], 4), f))
+        w2, p2s = nn.s2d_conv_weights(params["m1"]["w"])
+        x1 = nn.silu(nn.conv2d_s2d(y1, (nn.bp_conv_weights(w2, f), p2s),
+                                   nn.bp_bias(params["m1"]["b"], f)))
+        xfl = B.c3_a(B.bp_c3k_p(params["m2"], f), x1, shortcut=True)
+        x = ctx.quant_in(xfl)
+    else:
+        x = ctx.quant_in(nn.batch_fold(x4, f))
+        w4, p4s = nn.s2d4_conv_weights(params["m0"]["w"], 2)
+        x = ctx.conv(x, nn.bp_conv_weights(w4, f),
+                     jnp.tile(jnp.tile(params["m0"]["b"], 4), f),
+                     pads=((p4s[0], p4s[1]), (p4s[0], p4s[1])))
+        w2, p2s = nn.s2d_conv_weights(params["m1"]["w"])
+        x = ctx.conv(x, nn.bp_conv_weights(w2, f),
+                     nn.bp_bias(params["m1"]["b"], f),
+                     pads=((p2s[0], p2s[1]), (p2s[0], p2s[1])))
+        x = Q.qc3_a(ctx, B.bp_c3k_p(params["m2"], f), x)
+    x = Q.qconv_a(ctx, B.bp_conv_p(params["m3"], f), x, stride=2)
+    c4f = Q.qc3_a(ctx, B.bp_c3k_p(params["m4"], f), x)
+    x = ctx.map_q(Q.qconv_a(ctx, B.bp_conv_p(params["m5"], f), c4f,
+                            stride=2),
+                  lambda q: nn.batch_unfold(q, f))
+    c6 = Q.qc3_a(ctx, params["m6"], x)
+    x = Q.qc3_a(ctx, params["m8"], Q.qconv_a(ctx, params["m7"], c6,
+                                             stride=2))
+    x = Q.qsppf_a(ctx, params["m9"], x)
+    p5_in = Q.qconv_a(ctx, params["m10"], x)
+    u = ctx.upsample(p5_in)
+    m13f = Q.qc3_a(ctx, B.bp_c3k_p(params["m13"], f),
+                   ctx.map_q(ctx.concat([u, c6]),
+                             lambda q: nn.batch_fold(q, f)),
+                   shortcut=False)
+    p4inf = Q.qconv_a(ctx, B.bp_conv_p(params["m14"], f), m13f)
+    uf = ctx.upsample(p4inf)
+    w_u = params["m14"]["w"].shape[-1]
+    w_c4 = params["m4"]["cv3"]["w"].shape[-1]
+    p3f = Q.qc3_a(ctx, B.bp_c3k_p(params["m17"], f,
+                                  in_segments=(w_u, w_c4)),
+                  ctx.concat([uf, c4f]), shortcut=False)
+    xf = Q.qconv_a(ctx, B.bp_conv_p(params["m18"], f), p3f, stride=2)
+    w_18 = params["m18"]["w"].shape[-1]
+    p4f = Q.qc3_a(ctx, B.bp_c3k_p(params["m20"], f,
+                                  in_segments=(w_18, w_u)),
+                  ctx.concat([xf, p4inf]), shortcut=False)
+    p4 = ctx.map_q(p4f, lambda q: nn.batch_unfold(q, f))
+    x = Q.qconv_a(ctx, params["m21"], p4, stride=2)
+    p5 = Q.qc3_a(ctx, params["m23"], ctx.concat([x, p5_in]),
+                 shortcut=False)
+    r3 = ctx.conv_out(p3f, nn.bp_conv_weights(params["det"][0]["w"], f),
+                      nn.bp_bias(params["det"][0]["b"], f))
+    r4 = ctx.conv_out(p4f, nn.bp_conv_weights(params["det"][1]["w"], f),
+                      nn.bp_bias(params["det"][1]["b"], f))
+    r5 = ctx.conv_out(p5, params["det"][2]["w"], params["det"][2]["b"])
+    raw_lv = [nn.batch_unfold(r3, f), nn.batch_unfold(r4, f), r5]
+    return _decode_anchor(params, raw_lv, cfg)
+
+
+apply_chain.factor = 4
+apply_chain.supports = lambda cfg: cfg.task == "det"
+
+
 def _apply_from_x1(params, x1, cfg: Yolov5Cfg):
     # P2/P3 stages ride the row-phase motif (see _yolo_blocks.c3_down_a):
     # at batch ≤8 the C≤64 convs at the two largest grids fill only half
@@ -172,13 +250,20 @@ def _apply_from_x1(params, x1, cfg: Yolov5Cfg):
     y = B.conv_a(params["m21"], p4, stride=2)
     p5 = B.c3_a(params["m23"], jnp.concatenate([y, p5_in], -1), shortcut=False)
 
+    raw_lv = [nn.conv2d(f, params["det"][i]["w"], params["det"][i]["b"])
+              for i, f in enumerate([p3, p4, p5])]
+    return _decode_anchor(params, raw_lv, cfg, p3=p3)
+
+
+def _decode_anchor(params, raw_lv, cfg: Yolov5Cfg, p3=None):
+    """Anchor decode + NMS tail on the three raw head maps (shared by the
+    float paths and the int8 chain mirror; yololayer.cu:159-226)."""
     nc = cfg.num_classes
     extra = 32 if cfg.task == "seg" else 0
-    b = x1.shape[0]
+    b = raw_lv[0].shape[0]
     strides = (8, 16, 32)
     boxes_all, conf_all, cls_all, coef_all = [], [], [], []
-    for i, f in enumerate([p3, p4, p5]):
-        raw = nn.conv2d(f, params["det"][i]["w"], params["det"][i]["b"])
+    for i, raw in enumerate(raw_lv):
         h, w_ = raw.shape[1], raw.shape[2]
         # flatten (cell, anchor) into rows: the (b, h·w, 3, 85) form put the
         # 3 anchors in sublanes (3/8 tile occupancy — its sigmoid+argmax
@@ -245,5 +330,6 @@ register(ModelDef(
     default_cfg=Yolov5Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     apply_s2d=apply_s2d,
+    apply_chain=apply_chain,
     doc="YOLOv5 det, anchor-based decode (reference: yolov5/)",
 ))

@@ -380,6 +380,92 @@ apply_s2d.supports = lambda cfg: (cfg.task != "cls"
                                   and cfg.variant not in ("p2", "5u"))
 
 
+def apply_chain(params, x4, cfg: Yolov8Cfg, ctx, f: int = 2):
+    """Int8-resident chain mirror of the v8 det serving path (see
+    models/yolo11.apply_chain — same design: s2d stem, f-batch-fold through
+    the lane-starved stages, folded P3/P4 heads, every conv int8×int8→int32
+    with a fused dequant+bias+SiLU+requant epilogue; ops/qchain.py).
+
+    The reference ships an int8 calibrator for yolov8
+    (yolov8/src/calibrator.cpp); this is the chained (int8-resident) tier
+    for the same engine. Standard det graph only; requires an even batch
+    ≥ 2 (the f=2 fold). `ctx.enter`: "m3" leaves the 160² stem/m2 stage
+    bf16 (XLA s8 layout oscillation at small C), "stem" chains everything.
+    """
+    import tensorrtx_tpu.models._yolo_qchain as Q
+
+    assert cfg.task == "det" and cfg.variant not in ("p2", "5u"), \
+        "chained int8 covers the standard v8 det serving path"
+    if ctx.enter == "m3":
+        xf = nn.batch_fold(x4, f)
+        w4, p4s = nn.s2d4_conv_weights(params["m0"]["w"])
+        y1 = nn.silu(nn.conv2d_s2d4(xf, (nn.bp_conv_weights(w4, f), p4s),
+                                    None)
+                     + jnp.tile(jnp.tile(params["m0"]["b"], 4), f))
+        w2, p2s = nn.s2d_conv_weights(params["m1"]["w"])
+        x1 = nn.silu(nn.conv2d_s2d(y1, (nn.bp_conv_weights(w2, f), p2s),
+                                   nn.bp_bias(params["m1"]["b"], f)))
+        xfl = B.c2f_a(B.bp_c3k2_p(params["m2"], f), x1, shortcut=True)
+        x = ctx.quant_in(xfl)
+    else:
+        x = ctx.quant_in(nn.batch_fold(x4, f))
+        w4, p4s = nn.s2d4_conv_weights(params["m0"]["w"])
+        x = ctx.conv(x, nn.bp_conv_weights(w4, f),
+                     jnp.tile(jnp.tile(params["m0"]["b"], 4), f),
+                     pads=((p4s[0], p4s[1]), (p4s[0], p4s[1])))
+        w2, p2s = nn.s2d_conv_weights(params["m1"]["w"])
+        x = ctx.conv(x, nn.bp_conv_weights(w2, f),
+                     nn.bp_bias(params["m1"]["b"], f),
+                     pads=((p2s[0], p2s[1]), (p2s[0], p2s[1])))
+        x = Q.qc2f_a(ctx, B.bp_c3k2_p(params["m2"], f), x)
+    x = Q.qconv_a(ctx, B.bp_conv_p(params["m3"], f), x, stride=2)
+    c4f = Q.qc2f_a(ctx, B.bp_c3k2_p(params["m4"], f), x)
+    x = ctx.map_q(Q.qconv_a(ctx, B.bp_conv_p(params["m5"], f), c4f,
+                            stride=2),
+                  lambda q: nn.batch_unfold(q, f))
+    c6 = Q.qc2f_a(ctx, params["m6"], x)
+    x = Q.qc2f_a(ctx, params["m8"], Q.qconv_a(ctx, params["m7"], c6,
+                                              stride=2))
+    p5_in = Q.qsppf_a(ctx, params["m9"], x)
+    u = ctx.upsample(p5_in)
+    p4m_f = Q.qc2f_a(ctx, B.bp_c3k2_p(params["m12"], f),
+                     ctx.map_q(ctx.concat([u, c6]),
+                               lambda q: nn.batch_fold(q, f)),
+                     shortcut=False)
+    uf = ctx.upsample(p4m_f)
+    w_u = params["m12"]["cv2"]["w"].shape[-1]
+    w_c4 = params["m4"]["cv2"]["w"].shape[-1]
+    p3f = Q.qc2f_a(ctx, B.bp_c3k2_p(params["m15"], f,
+                                    in_segments=(w_u, w_c4)),
+                   ctx.concat([uf, c4f]), shortcut=False)
+    xf = Q.qconv_a(ctx, B.bp_conv_p(params["m16"], f), p3f, stride=2)
+    w_16 = params["m16"]["w"].shape[-1]
+    p4f = Q.qc2f_a(ctx, B.bp_c3k2_p(params["m18"], f,
+                                    in_segments=(w_16, w_u)),
+                   ctx.concat([xf, p4m_f]), shortcut=False)
+    p4 = ctx.map_q(p4f, lambda q: nn.batch_unfold(q, f))
+    x = Q.qconv_a(ctx, params["m19"], p4, stride=2)
+    p5 = Q.qc2f_a(ctx, params["m21"], ctx.concat([x, p5_in]),
+                  shortcut=False)
+
+    h = params["head"]
+    b3 = Q.qbranch3_bp(ctx, h["cv2"][0], p3f, f)
+    c3 = Q.qbranch3_bp(ctx, h["cv3"][0], p3f, f)
+    b4 = Q.qbranch3_bp(ctx, h["cv2"][1], p4f, f)
+    c4l = Q.qbranch3_bp(ctx, h["cv3"][1], p4f, f)
+    b5 = Q.qbranch3(ctx, h["cv2"][2], p5)
+    c5 = Q.qbranch3(ctx, h["cv3"][2], p5)
+    box_lv = [nn.batch_unfold(b3, f), nn.batch_unfold(b4, f), b5]
+    cls_lv = [nn.batch_unfold(c3, f), nn.batch_unfold(c4l, f), c5]
+    from tensorrtx_tpu.models.yolo11 import _decode_det
+    return _decode_det(params, box_lv, cls_lv, cfg)
+
+
+apply_chain.factor = 4
+apply_chain.supports = lambda cfg: (cfg.task == "det"
+                                    and cfg.variant not in ("p2", "5u"))
+
+
 def _apply_main_from_x1(params, x1, cfg: Yolov8Cfg):
     y = B.c2f_a(params["m2"], x1, shortcut=True)
     y = B.conv_a(params["m3"], y, stride=2)
@@ -430,5 +516,6 @@ register(ModelDef(
     default_cfg=Yolov8Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     apply_s2d=apply_s2d,
+    apply_chain=apply_chain,
     doc="YOLOv8 det/seg (reference: yolov8/)",
 ))

@@ -160,6 +160,39 @@ class ChainCtx:
             o = o + b.astype(f32)
         return QTensor(_rq(_act_f(o, act), s_out), s_out)
 
+    def conv_add(self, x, w, b, res, act: str = "relu", stride=1,
+                 padding=None):
+        """conv + bias + residual add + act, requantized — the TensorRT
+        conv+add+relu fusion at ResNet bottleneck exits (the int8 engine
+        keeps the whole block int8-resident; one scale slot for the fused
+        output). `res` is a chain tensor (QTensor in run mode)."""
+        st = (stride, stride) if isinstance(stride, int) else stride
+        p = (w.shape[0] // 2 if padding is None else padding)
+        pads = ((p, p), (p, p))
+        if self.mode == "tap":
+            self.ws.append(w)
+            self.w_is_dw.append(False)
+            self._wi += 1
+            o = lax.conv_general_dilated(
+                x, w.astype(x.dtype), st, list(pads),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(f32)
+            if b is not None:
+                o = o + b.astype(f32)
+            o = _act_f(o + res.astype(f32), act)
+            self._tap(o)
+            return o.astype(x.dtype)
+        wq, sw = self._next_w()
+        s_out = self._next_scale()
+        acc = lax.conv_general_dilated(
+            x.q, wq, st, list(pads),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        o = acc.astype(f32) * (x.s * sw)[None, None, None, :]
+        if b is not None:
+            o = o + b.astype(f32)
+        o = o + res.q.astype(f32) * res.s
+        return QTensor(_rq(_act_f(o, act), s_out), s_out)
+
     def conv_out(self, x, w, b=None, act: Optional[str] = None):
         """Chain exit conv: int8 dot, float output (no requant slot)."""
         if self.mode == "tap":

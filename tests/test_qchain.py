@@ -132,6 +132,147 @@ def test_chained_matches_float_within_quant_error(chained_pair):
         assert np.abs(box_q[m] - box_f[m]).mean() < 6.0  # px at 192²
 
 
+@pytest.fixture(scope="module", params=["yolov8", "yolov5", "yolo11"])
+def family_chained(request):
+    """ChainedInt8Engine across the generalized family (VERDICT r4 #2:
+    apply_chain on ≥4 models; the reference ships int8 calibrators for
+    yolov5/yolov8/yolo11 alike — yolov5/src/calibrator.cpp et al.)."""
+    model = get_model(request.param)
+    cfg = dataclasses.replace(model.default_cfg(), input_h=192,
+                              input_w=192, postprocess="raw")
+    params = model.build_params(RandomWeightMap(), cfg)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), params)
+    eng = Engine(request.param, params, cfg, "bf16")
+    ce = ChainedInt8Engine(eng)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 192, 192, 3)).astype(np.uint8)
+    ce.calibrate([frames])
+    return eng, ce, frames
+
+
+def test_family_chain_slot_alignment(family_chained):
+    eng, ce, _ = family_chained
+    assert ce.act_scales is not None
+    assert len(ce.act_scales) == ce.n_scales
+    assert sum(1 for w in ce.wq if w.dtype == jnp.int8) > 40
+
+
+def test_family_chain_tap_is_float_path(family_chained):
+    """Tap mode must match the model's float s2d serving path (same graph,
+    modulo the batch fold — exact block-diagonal numerics)."""
+    eng, ce, frames = family_chained
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+    def tap(params, fr, hw):
+        x4 = letterbox_s2d_batch(fr, hw, 192, 192,
+                                 out_dtype=jnp.bfloat16, factor=4)
+        ctx = qchain.ChainCtx("tap")
+        return eng.model.apply_chain(params, x4, eng.cfg, ctx), x4
+
+    hw = jnp.tile(jnp.asarray([[192, 192]], jnp.int32), (2, 1))
+    out_tap, x4 = jax.jit(tap)(eng.params, jnp.asarray(frames), hw)
+    out_ref = jax.jit(
+        lambda p, x: eng.model.apply_s2d(p, x, eng.cfg))(eng.params, x4)
+    np.testing.assert_allclose(
+        np.asarray(out_tap["conf"], np.float32),
+        np.asarray(out_ref["conf"], np.float32), atol=2.5e-2)
+
+
+def test_family_chain_run_tracks_float(family_chained):
+    """Run-mode int8 outputs track the float outputs (the int8 engine
+    accuracy contract: same detections, not bit-equal logits)."""
+    eng, ce, frames = family_chained
+    out_q = ce(frames)
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+    def tap(params, fr, hw):
+        x4 = letterbox_s2d_batch(fr, hw, 192, 192,
+                                 out_dtype=jnp.bfloat16, factor=4)
+        ctx = qchain.ChainCtx("tap")
+        return eng.model.apply_chain(params, x4, eng.cfg, ctx)
+
+    hw = jnp.tile(jnp.asarray([[192, 192]], jnp.int32), (2, 1))
+    out_f = jax.jit(tap)(eng.params, jnp.asarray(frames), hw)
+    conf_q = np.asarray(out_q["conf"], np.float32).ravel()
+    conf_f = np.asarray(out_f["conf"], np.float32).ravel()
+    assert np.all(np.isfinite(conf_q))
+    cc = np.corrcoef(conf_q, conf_f)[0, 1]
+    assert cc > 0.95, cc
+    assert np.abs(conf_q - conf_f).mean() < 0.05
+
+
+@pytest.fixture(scope="module")
+def detr_chained():
+    """DETR chained tier: int8-resident ResNet backbone + float
+    transformer island (the reference's int8 DETR structure,
+    detr/README.md:86)."""
+    model = get_model("detr")
+    cfg = dataclasses.replace(model.default_cfg(), input_h=192,
+                              input_w=192, input_format="s2d2")
+    params = model.build_params(RandomWeightMap(), cfg)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), params)
+    eng = Engine("detr", params, cfg, "bf16")
+    ce = ChainedInt8Engine(eng)
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, (2, 192, 192, 3)).astype(np.uint8)
+    ce.calibrate([frames])
+    return eng, ce, frames
+
+
+def test_detr_chain_fold_clamped(detr_chained):
+    _, ce, _ = detr_chained
+    assert ce.fold == 1  # apply_chain.folds == (1,): no batch fold
+    assert sum(1 for w in ce.wq if w.dtype == jnp.int8) > 30
+
+
+def test_detr_chain_tap_is_float_path(detr_chained):
+    """Tap mode must match the plain DETR float apply on the same s2d2
+    tensor (the backbone chain mirror IS backbone_apply(stem_s2d=True))."""
+    eng, ce, frames = detr_chained
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+    def tap(params, fr, hw):
+        x2 = letterbox_s2d_batch(fr, hw, 192, 192,
+                                 out_dtype=jnp.bfloat16, factor=2)
+        ctx = qchain.ChainCtx("tap")
+        return eng.model.apply_chain(params, x2, eng.cfg, ctx), x2
+
+    hw = jnp.tile(jnp.asarray([[192, 192]], jnp.int32), (2, 1))
+    out_tap, x2 = jax.jit(tap)(eng.params, jnp.asarray(frames), hw)
+    out_ref = jax.jit(
+        lambda p, x: eng.model.apply(p, x, eng.cfg))(eng.params, x2)
+    np.testing.assert_allclose(
+        np.asarray(out_tap["scores"], np.float32),
+        np.asarray(out_ref["scores"], np.float32), atol=2.5e-2)
+
+
+def test_detr_chain_run_tracks_float(detr_chained):
+    eng, ce, frames = detr_chained
+    out_q = ce(frames)
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+    def tap(params, fr, hw):
+        x2 = letterbox_s2d_batch(fr, hw, 192, 192,
+                                 out_dtype=jnp.bfloat16, factor=2)
+        ctx = qchain.ChainCtx("tap")
+        return eng.model.apply_chain(params, x2, eng.cfg, ctx)
+
+    hw = jnp.tile(jnp.asarray([[192, 192]], jnp.int32), (2, 1))
+    out_f = jax.jit(tap)(eng.params, jnp.asarray(frames), hw)
+    s_q = np.asarray(out_q["scores"], np.float32).ravel()
+    s_f = np.asarray(out_f["scores"], np.float32).ravel()
+    assert np.all(np.isfinite(s_q))
+    cc = np.corrcoef(s_q, s_f)[0, 1]
+    assert cc > 0.9, cc
+    assert np.abs(s_q - s_f).mean() < 0.05
+
+
 def test_chained_tap_equals_folded_float_path(chained_pair):
     """Tap mode must BE the bf16 folded serving graph (same numerics)."""
     eng, ce, frames = chained_pair
