@@ -132,13 +132,9 @@ def _run_mesh(eng, files, imgs, task, dp, tp, batch, t0):
     (tutorials/multi_GPU_processing.md:13-30)."""
     import jax
 
-    from tensorrtx_tpu.parallel import MeshServingPipeline, make_mesh
+    from tensorrtx_tpu.parallel import (MeshServingPipeline,
+                                        MeshTaskPipeline, make_mesh)
 
-    if task != "detect":
-        print(f"--dp/--tp serve detection engines; {eng.model.name} is "
-              f"task={task} (use the library API parallel.* for other "
-              "tasks)", file=sys.stderr)
-        return 1
     n = dp * tp
     if len(jax.devices()) < n:
         print(f"dp*tp={n} but only {len(jax.devices())} devices visible "
@@ -147,14 +143,23 @@ def _run_mesh(eng, files, imgs, task, dp, tp, batch, t0):
               file=sys.stderr)
         return 1
     mesh = make_mesh(n, dp=dp, tp=tp)
-    max_h = max(i.shape[0] for i in imgs)
-    max_w = max(i.shape[1] for i in imgs)
-    pipe = MeshServingPipeline(eng, mesh, src_h=max_h, src_w=max_w)
     step = max(batch, dp)
-    for i in range(0, len(imgs), step):
-        res = pipe.detect_images(imgs[i:i + step])
-        for f, r in zip(files[i:i + step], res):
-            _print_dets(f, r)
+    if task == "detect":
+        max_h = max(i.shape[0] for i in imgs)
+        max_w = max(i.shape[1] for i in imgs)
+        pipe = MeshServingPipeline(eng, mesh, src_h=max_h, src_w=max_w)
+        for i in range(0, len(imgs), step):
+            res = pipe.detect_images(imgs[i:i + step])
+            for f, r in zip(files[i:i + step], res):
+                _print_dets(f, r)
+    else:
+        # classify/seg/OCR/sr/embedding/tensor: per-task preprocess feeds
+        # the dp-batch-sharded apply (MeshTaskPipeline)
+        pipe = MeshTaskPipeline(eng, mesh)
+        for i in range(0, len(imgs), step):
+            res = pipe.run_images(imgs[i:i + step])
+            for f, r in zip(files[i:i + step], res):
+                print(json.dumps({"image": f, **r}, ensure_ascii=False))
     dt = time.perf_counter() - t0
     print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms on dp={dp} tp={tp}",
           file=sys.stderr)
@@ -182,16 +187,22 @@ def _run_gpipe(eng, files, imgs, task, pp, t0):
 
     mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
     gstep = gpipe_serving_step(eng, mesh)  # raises if no gpipe_split
-    pre = PREPROCESS[task]
-    present = PRESENT[task]
+    from tensorrtx_tpu.core.tasks import pre_segment, present_tensor
+
+    # detect-task pipelined models (detr) fall back to the generic
+    # imagenet-resize preprocess + tensor-stats present: the pp path
+    # returns the raw head outputs, not the fused NMS buffer
+    pre = PREPROCESS.get(task, pre_segment)
+    present = PRESENT.get(task, present_tensor)
     xs, metas = [], []
     for img in imgs:
         x, meta = pre(img, eng.model, eng.cfg)
         xs.append(np.asarray(x)[0])
         metas.append(meta)
-    out = np.asarray(gstep(np.stack(xs)))
+    out = jax.tree.map(np.asarray, gstep(np.stack(xs)))
     for f, meta, i in zip(files, metas, range(len(imgs))):
-        res = present(out[i:i + 1], eng.cfg, meta)
+        one = jax.tree.map(lambda a: a[i:i + 1], out)
+        res = present(one, eng.cfg, meta)
         print(json.dumps({"image": f, **res}, ensure_ascii=False))
     dt = time.perf_counter() - t0
     print(f"# {len(imgs)} images in {dt * 1e3:.1f} ms on pp={pp}",
@@ -401,6 +412,48 @@ def main(argv=None):
         return smoke_main(argv2)
 
     sm.set_defaults(fn=cmd_smoke)
+
+    v = sub.add_parser(
+        "validate", help="real-weights acceptance: build → infer → "
+        "compare-to-expected, one command (≙ tutorials/getting_started.md"
+        ":85-105 'the output should be same')")
+    v.add_argument("model")
+    v.add_argument("-w", "--wts", required=True)
+    v.add_argument("--image", required=True)
+    v.add_argument("--expect", help="expected-output JSON to compare against")
+    v.add_argument("--save-expected", metavar="PATH",
+                   help="write the expected-output fixture instead")
+    v.add_argument("--precision", default="fp32",
+                   choices=["fp32", "bf16", "fp16"])
+    v.add_argument("--set", action="append", metavar="KEY=VAL")
+
+    def cmd_validate(args):
+        from tensorrtx_tpu.tools.validate import run_validate
+
+        ok, report = run_validate(
+            args.model, args.wts, args.image, expect=args.expect,
+            save_expected=args.save_expected, precision=args.precision,
+            overrides=_parse_set(args.set))
+        print(json.dumps(report, indent=1))
+        print("PASS" if ok else "FAIL", file=sys.stderr)
+        return 0 if ok else 1
+
+    v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser(
+        "precision-report",
+        help="empirical tier-support probe + conv-tier crossover table "
+        "(≙ tutorials/check_fp16_int8_support.md, measured on the chip)")
+    pr.add_argument("--json", action="store_true")
+    pr.add_argument("--quick", action="store_true")
+
+    def cmd_precision_report(args):
+        from tensorrtx_tpu.tools.precision_report import main as prmain
+
+        return prmain((["--json"] if args.json else [])
+                      + (["--quick"] if args.quick else []))
+
+    pr.set_defaults(fn=cmd_precision_report)
 
     s2 = sub.add_parser(
         "perf-sweep",
