@@ -235,7 +235,7 @@ class ChainedInt8Engine:
     """
 
     def __init__(self, engine: Engine, bgr_to_rgb: bool = False,
-                 fold: int = 2, enter: str = "m3"):
+                 fold: int = 2, enter: str = "m3", pallas=None):
         from tensorrtx_tpu.ops import qchain
         from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
 
@@ -260,6 +260,10 @@ class ChainedInt8Engine:
         if fold not in folds:
             fold = max(folds)
         self.fold, self.enter = fold, enter
+        # pallas: None → per-shape auto (fused in-kernel-requant Mosaic
+        # convs on TPU, ops/pallas/qconv.py); False forces the XLA chain
+        # lowering (A/B and CPU-mesh runs); "interpret" for tests.
+        self.pallas = pallas
         h, w, c = model.input_shape(cfg)
         if c != 3:
             # input_shape is already a g×g space-to-depth tensor (detr's
@@ -271,7 +275,8 @@ class ChainedInt8Engine:
         dtype = jnp.bfloat16
 
         def _ctx(mode, **kw):
-            return qchain.ChainCtx(mode, enter=enter, **kw)
+            return qchain.ChainCtx(mode, enter=enter, pallas=self.pallas,
+                                   **kw)
 
         # 1. collect conv weights: one eager tap pass on CPU (B=2 zeros —
         # the fold needs an even batch; weights are input-independent)

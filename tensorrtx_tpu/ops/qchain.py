@@ -80,7 +80,7 @@ class ChainCtx:
 
     def __init__(self, mode: str, scales=None, wq: Optional[List] = None,
                  sw: Optional[List] = None, dtype=jnp.bfloat16,
-                 enter: str = DEFAULT_ENTER):
+                 enter: str = DEFAULT_ENTER, pallas: Optional[bool] = None):
         assert mode in ("tap", "run")
         assert enter in ("stem", "m3"), enter
         self.mode = mode
@@ -89,11 +89,46 @@ class ChainCtx:
         self.sw = sw
         self.enter = enter
         self.dtype = dtype
+        # pallas=True dispatches eligible convs to the fused in-kernel-
+        # requant Mosaic kernels (ops/pallas/qconv.py). Default OFF: the
+        # kernels win ISOLATED (1.3-2.1× on 16-layer chains at C≥128,
+        # PERF.md §INT8) but LOSE COMPOSED into the full model — measured
+        # v5e yolo11n-640, b32 3051→2738 img/s, b128 4834→4303, every gate
+        # subset (only-1×1, only-3×3, only-C≥256) also negative. The b32
+        # trace shows why: the kernels remove 20.7 µs/img of XLA conv-
+        # fusion time but cost 35.7 µs/img of custom-call time plus
+        # +19.4 µs/img of new data-formatting copies at the pallas_call
+        # boundaries (XLA relayouts s8 operands around each custom call
+        # instead of fusing the requant into the producer). Full tables in
+        # PERF.md §INT8. Tests pass pallas="interpret" to exercise the
+        # dispatch path on CPU.
+        if pallas is None:
+            pallas = False
+        assert pallas in (True, False, "interpret"), pallas
+        self.pallas = pallas
         self.taps: List = []
         self.ws: List = []
         self.w_is_dw: List[bool] = []   # tap mode: which ws are depthwise
         self._si = 0
         self._wi = 0
+
+    def _qconv_fn(self, wq, stride, pads, H, W):
+        """The fused Pallas kernel serving this conv's shape, or None."""
+        if not self.pallas:
+            return None
+        k, _, C, Co = wq.shape
+        st = stride if isinstance(stride, int) else stride[0]
+        p = k // 2
+        if pads != ((p, p), (p, p)):
+            return None
+        from tensorrtx_tpu.ops.pallas import qconv as _qc
+
+        if not _qc.supports(k, st, H, W, C, Co):
+            return None
+        base = _qc.qconv1x1 if k == 1 else _qc.qconv3x3
+        if self.pallas == "interpret":
+            return lambda *a, **kw: base(*a, interpret=True, **kw)
+        return base
 
     # -- slot bookkeeping ---------------------------------------------------
     def _next_scale(self):
@@ -148,6 +183,9 @@ class ChainCtx:
             return o.astype(x.dtype)
         wq, sw = self._next_w()
         s_out = self._next_scale()
+        fn = self._qconv_fn(wq, stride, pads, x.q.shape[1], x.q.shape[2])
+        if fn is not None:
+            return QTensor(fn(x.q, wq, x.s * sw, b, s_out, act=act), s_out)
         # padding rides the conv op (an explicit jnp.pad between the
         # previous requant and this conv breaks XLA's conv output fusion —
         # the s32 accumulator then materializes in HBM; measured +30%)
@@ -183,6 +221,10 @@ class ChainCtx:
             return o.astype(x.dtype)
         wq, sw = self._next_w()
         s_out = self._next_scale()
+        fn = self._qconv_fn(wq, stride, pads, x.q.shape[1], x.q.shape[2])
+        if fn is not None:
+            return QTensor(fn(x.q, wq, x.s * sw, b, s_out, act=act,
+                              residual=res.q, res_scale=res.s), s_out)
         acc = lax.conv_general_dilated(
             x.q, wq, st, list(pads),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -208,6 +250,11 @@ class ChainCtx:
             return _act_f(o, act).astype(self.dtype)
         wq, sw = self._next_w()
         p = wq.shape[0] // 2
+        fn = self._qconv_fn(wq, 1, ((p, p), (p, p)),
+                            x.q.shape[1], x.q.shape[2])
+        if fn is not None:
+            return fn(x.q, wq, x.s * sw, b, 1.0, act=act,
+                      out_float=True, out_dtype=self.dtype)
         acc = lax.conv_general_dilated(
             x.q, wq, (1, 1), [(p, p), (p, p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
