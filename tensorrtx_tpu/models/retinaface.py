@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from tensorrtx_tpu.core.registry import ModelDef, register
 from tensorrtx_tpu.ops import nn
+from tensorrtx_tpu.ops.detect import bexp
 from tensorrtx_tpu.ops.nms import select_and_nms
 
 BN_EPS = 1e-5
@@ -130,8 +131,8 @@ def decode_level(bbox, cls, lmk, stride, anchors, input_h, input_w):
     ph = jnp.asarray(anchors, jnp.float32)[None, None, None, :] / input_h
     cx = px + bb[..., 0] * VARIANCE[0] * pw
     cy = py + bb[..., 1] * VARIANCE[0] * ph
-    bw = pw * jnp.exp(bb[..., 2] * VARIANCE[1])
-    bh = ph * jnp.exp(bb[..., 3] * VARIANCE[1])
+    bw = pw * bexp(bb[..., 2] * VARIANCE[1])
+    bh = ph * bexp(bb[..., 3] * VARIANCE[1])
     x1 = (cx - bw / 2) * input_w
     y1 = (cy - bh / 2) * input_h
     x2 = x1 + bw * input_w

@@ -22,6 +22,7 @@ import numpy as np
 
 from tensorrtx_tpu.core.registry import ModelDef, register
 from tensorrtx_tpu.ops import nn
+from tensorrtx_tpu.ops.detect import bexp
 from tensorrtx_tpu.ops.nms import select_and_nms
 
 # (name, out, k, stride, groups=in)
@@ -158,8 +159,8 @@ def _decode_level(cls, bbox, lmk, typ, step, anchor):
         conf = cls[..., 2 + k]
         dx = bbox[..., 4 * k + 0] * size
         dy = bbox[..., 4 * k + 1] * size
-        bw = size * jnp.exp(bbox[..., 4 * k + 2])
-        bh = size * jnp.exp(bbox[..., 4 * k + 3])
+        bw = size * bexp(bbox[..., 4 * k + 2])
+        bh = size * bexp(bbox[..., 4 * k + 3])
         x1 = (cx[..., 0] + dx) - (bw - 1) / 2
         y1 = (cy[..., 0] + dy) - (bh - 1) / 2
         boxes.append(jnp.stack([x1, y1, x1 + bw, y1 + bh], -1))

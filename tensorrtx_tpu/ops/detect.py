@@ -26,8 +26,22 @@ Array = jax.Array
 
 __all__ = [
     "make_anchor_grid", "decode_boxes_ltrb", "decode_pose", "decode_obb",
-    "anchor_yolo_decode",
+    "anchor_yolo_decode", "bexp",
 ]
+
+
+def bexp(t, cap: float = 10.0):
+    """Bounded box-size exp: exp(min(t, cap)).
+
+    Every exp-family box decode (yolov3/v4 anchors, retinaface priors)
+    clamps its argument so a large regression logit yields a huge-but-
+    finite box instead of inf (whose corner conversion is inf-inf = NaN).
+    Same guard as torchvision's bbox_xform_clip (rcnn.py uses 10.0 too);
+    exp(10)≈2.2e4× the anchor, far past any trained logit (|t|≲5), so
+    real-checkpoint numerics are untouched while the on-device smoke
+    invariant "every output leaf finite" holds unconditionally even with
+    random weights (TPU_SMOKE digest sweep)."""
+    return jnp.exp(jnp.minimum(t, cap))
 
 
 def make_anchor_grid(input_h: int, input_w: int, strides: Sequence[int]):
@@ -172,8 +186,8 @@ def anchor_decode_level_flat(raw, anchors, stride, nc: int,
     else:
         cx = (cols[None] + sxy[..., 0]) * stride
         cy = (rows[None] + sxy[..., 1]) * stride
-        bw = jnp.exp(r[..., 2].astype(jnp.float32)) * anc3[None, :, 0]
-        bh = jnp.exp(r[..., 3].astype(jnp.float32)) * anc3[None, :, 1]
+        bw = bexp(r[..., 2].astype(jnp.float32)) * anc3[None, :, 0]
+        bh = bexp(r[..., 3].astype(jnp.float32)) * anc3[None, :, 1]
     obj = jax.nn.sigmoid(r[..., 4].astype(jnp.float32))
     conf_cls = jax.nn.sigmoid(
         jnp.max(r[..., 5:5 + nc], -1).astype(jnp.float32))

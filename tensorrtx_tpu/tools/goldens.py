@@ -166,21 +166,28 @@ def compute_golden(name: str):
             for path, leaf in leaves}
 
 
-def assert_matches(got: dict, exp: dict, ctx: str = "") -> None:
+def assert_matches(got: dict, exp: dict, ctx: str = "",
+                   tol: float = 1.0) -> None:
     """Digest-vs-golden comparison shared by the golden and matrix tests.
 
     Tolerances absorb XLA CPU fusion-order noise across jax versions while
     still catching any real numerics change (a weight-order or decode bug
-    shifts mean/std by orders of magnitude more)."""
+    shifts mean/std by orders of magnitude more). tol widens every band by
+    a constant factor — the on-device sweep (tools/tpu_smoke.py) compares
+    XLA:TPU f32 (matmul precision "highest") against the committed CPU
+    digests, whose residual cross-backend noise is larger than CPU-vs-CPU
+    but still orders of magnitude below any real mis-lowering."""
     assert set(got) == set(exp), (ctx, set(got) ^ set(exp))
     for key, g in got.items():
         e = exp[key]
         assert g["shape"] == e["shape"], (ctx, key, g["shape"], e["shape"])
         scale = max(abs(e["mean"]) + e["std"], 1e-3)
-        assert abs(g["mean"] - e["mean"]) < 2e-3 * scale + 1e-5, (ctx, key)
-        assert abs(g["std"] - e["std"]) < 2e-3 * scale + 1e-5, (ctx, key)
+        assert abs(g["mean"] - e["mean"]) < tol * (2e-3 * scale + 1e-5), \
+            (ctx, key, g["mean"], e["mean"])
+        assert abs(g["std"] - e["std"]) < tol * (2e-3 * scale + 1e-5), \
+            (ctx, key, g["std"], e["std"])
         for a, b in zip(g["sample"], e["sample"]):
-            assert abs(a - b) < 5e-3 * scale + 1e-4, (ctx, key, a, b)
+            assert abs(a - b) < tol * (5e-3 * scale + 1e-4), (ctx, key, a, b)
 
 
 def main(argv=None):

@@ -11,10 +11,22 @@ whole catalog:
     python -m tensorrtx_tpu.tools.tpu_smoke --resume   # skip models already
                                                        # green in the JSONL
 
-Per model: build params from RandomWeightMap, jit the registry apply at the
-model's default input shape (batch 1, bf16 unless the model is fp32-tiered),
-run once on device, assert every output leaf is finite, and record
-compile-and-first-run ms, steady-state run ms, and output shapes. Results
+Per model, two checks:
+  1. finiteness at the DEFAULT input shape (batch 1, bf16 unless the model
+     is fp32-tiered) — no carve-outs: the box decodes clamp their exp
+     (ops/detect.bexp), so "every output leaf finite" holds unconditionally
+     even with random weights;
+  2. NUMERIC digest at the golden config: the same fixed-seed
+     fixture the CPU test suite pins (tests/goldens.json) is recomputed on
+     the TPU (f32, matmul precision "highest" so conv numerics are pinned
+     and the check isolates the XLA:TPU lowering — layouts, fusions,
+     reductions, top-k, NMS loops) and compared with tolerance-banded
+     assert_matches. A TPU mis-lowering that produces finite-but-wrong
+     numbers fails here.
+
+Records compile-and-first-run ms, host-wall run ms (NOTE: through the axon
+relay this is dominated by ~25-30 ms RPC RTT, not device time — see
+BENCH_*.json device_p50 for on-device latency), and output shapes. Results
 append to TPU_SMOKE.jsonl as they land (crash-safe); `--report` renders
 TPU_SMOKE.md from the JSONL.
 """
@@ -31,6 +43,24 @@ import numpy as np
 
 # Models whose published tier (and our perf row) is fp32.
 _FP32 = {"efficient_ad", "psenet"}
+
+# Band multiplier for the on-device digest check: XLA:TPU f32 ("highest"
+# matmul precision) vs the committed CPU digests. Cross-backend residue
+# (transcendental tables, reduction order) sits ~1e-4 relative on deep
+# graphs; a real mis-lowering shifts digests by orders of magnitude.
+DIGEST_TOL = 5.0
+
+_GOLDENS = None
+
+
+def _golden_table() -> dict:
+    global _GOLDENS
+    if _GOLDENS is None:
+        from tensorrtx_tpu.tools.goldens import GOLDEN_PATH
+
+        with open(GOLDEN_PATH) as f:
+            _GOLDENS = json.load(f)
+    return _GOLDENS
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -75,24 +105,37 @@ def _smoke_one(name: str) -> dict:
         if not hasattr(leaf, "dtype"):
             continue
         a = np.asarray(leaf, np.float32)
-        if np.isfinite(a).all():
-            continue
-        key = jax.tree_util.keystr(path)
-        if "boxes" in key or "extras" in key:
-            # random weights overflow the exp in anchor/prior box decode
-            # (bf16 or f32 alike); corner conversion of an inf-width box
-            # yields inf-inf = NaN. Weight-dependent, not a lowering bug —
-            # same rationale as the goldens digest clip (tools/goldens.py).
-            note = "decode-inf in box leaves (random-weight exp overflow)"
-        else:
+        if not np.isfinite(a).all():
             status = "nonfinite"
-            note = f"nonfinite in {key}"
+            note = f"nonfinite in {jax.tree_util.keystr(path)}"
             break
     shapes = [tuple(int(s) for s in l.shape) for _, l in leaves]
     row = {"model": name, "status": status,
            "precision": precision, "input": list(shape),
            "compile_ms": round(compile_ms, 1), "run_ms": round(run_ms, 3),
            "n_outputs": len(leaves), "out_shapes": shapes[:8]}
+
+    # check 2: on-device numeric digest vs the committed CPU golden.
+    # f32 + matmul precision "highest" pins the conv/matmul numerics so the
+    # comparison isolates the TPU lowering itself (the serving-tier bf16
+    # numerics are covered separately by the parity-vs-fp32 quant tests).
+    if status == "ok":
+        from tensorrtx_tpu.tools import goldens as G
+
+        exp = _golden_table().get(name)
+        if exp is None:
+            row["digest"] = "no-golden"
+        else:
+            try:
+                with jax.default_matmul_precision("highest"):
+                    got = G.compute_golden(name)
+                G.assert_matches(got, exp, ctx=name, tol=DIGEST_TOL)
+                row["digest"] = "match"
+            except AssertionError as e:
+                status = "digest-mismatch"
+                note = f"digest mismatch: {str(e)[:200]}"
+                row["digest"] = "MISMATCH"
+    row["status"] = status
     if note:
         row["note"] = note
     return row
@@ -116,21 +159,32 @@ def render_report() -> str:
     rows = sorted(done.values(), key=lambda r: r["model"])
     n_ok = sum(r["status"] == "ok" for r in rows)
     dev = str(jax.devices()[0]) if rows else "?"
+    n_digest = sum(r.get("digest") == "match" for r in rows)
     lines = [
         "# TPU on-device smoke sweep — full model catalog",
         "",
         f"Device: {dev}. Every registered model compiled (XLA:TPU) and "
-        "executed on the real chip at its default input shape, batch 1, "
-        "random weights; PASS = every output leaf finite. Produced by "
+        "executed on the real chip, twice over: (1) default input shape, "
+        "batch 1, random weights — PASS = every output leaf finite, no "
+        "carve-outs (box decodes clamp their exp, ops/detect.bexp); "
+        "(2) the fixed-seed golden fixture recomputed on-device (f32, "
+        "matmul precision \"highest\") and compared against the committed "
+        "CPU digests in tests/goldens.json — PASS = tolerance-banded "
+        "match, so a finite-but-wrong TPU lowering fails. Produced by "
         "`python -m tensorrtx_tpu.tools.tpu_smoke` "
         "(reference parity: the per-model \"run the engine on the device\" "
-        "step, tutorials/getting_started.md:91-105).",
+        "step with expected outputs, tutorials/getting_started.md:91-105).",
         "",
-        f"**{n_ok}/{len(rows)} models green.**",
+        f"**{n_ok}/{len(rows)} models green; {n_digest}/{len(rows)} "
+        "digest-matched on device.**",
         "",
-        "| model | status | precision | input (H,W,C) | compile+1st run ms |"
-        " steady run ms | outputs |",
-        "|---|---|---|---|---:|---:|---|",
+        "run ms is HOST WALL time through the axon relay (~25-30 ms RPC "
+        "RTT floor) — it proves the run, it does not measure the device; "
+        "see BENCH_*.json device_p50 / PERF.md for on-device latencies.",
+        "",
+        "| model | status | digest | precision | input (H,W,C) | "
+        "compile+1st run ms | run ms (host wall) | outputs |",
+        "|---|---|---|---|---|---:|---:|---|",
     ]
     for r in rows:
         outs = (f"{r['n_outputs']}× {r['out_shapes'][0]}"
@@ -138,7 +192,8 @@ def render_report() -> str:
         if r.get("note"):
             outs += f" — {r['note']}"
         lines.append(
-            f"| {r['model']} | {r['status']} | {r.get('precision', '-')} | "
+            f"| {r['model']} | {r['status']} | {r.get('digest', '-')} | "
+            f"{r.get('precision', '-')} | "
             f"{tuple(r['input']) if r.get('input') else '-'} | "
             f"{r.get('compile_ms', '-')} | {r.get('run_ms', '-')} | {outs} |")
     return "\n".join(lines) + "\n"
@@ -169,7 +224,8 @@ def main(argv=None):
     failures = 0
     with open(JSONL, "a") as sink:
         for i, name in enumerate(names):
-            if name in done and done[name]["status"] == "ok":
+            if (name in done and done[name]["status"] == "ok"
+                    and done[name].get("digest") in ("match", "no-golden")):
                 print(f"[{i + 1}/{len(names)}] {name}: cached ok",
                       file=sys.stderr)
                 continue
