@@ -82,6 +82,65 @@ qc2f_a = qc3k2_a
 qc3_a = qc3k_a
 
 
+# -- GELAN (yolov9) chain twins: mirror models/yolov9.py's float blocks
+# (reference yolov9/src/block.cpp: RepConvN :156, RepNCSP :185,
+# RepNCSPELAN4 :230, ADown :264, SPPELAN :342) ------------------------------
+
+def qrepconvn_a(ctx, rp, x):
+    """RepConvN = silu(conv3x3(x) + conv1x1(x)). The 1×1 branch requants
+    at its own slot and re-enters as the fused conv's residual — one
+    conv+add+silu requant epilogue, the TRT fusion shape."""
+    r = ctx.conv(x, rp["conv2"]["w"], rp["conv2"]["b"], act=None)
+    return ctx.conv_add(x, rp["conv1"]["w"], rp["conv1"]["b"], r,
+                        act="silu")
+
+
+def qrepncsp_a(ctx, np_, x):
+    y = qconv_a(ctx, np_["cv1"], x)
+    for m in np_["m"]:
+        h = qconv_a(ctx, m["cv2"], qrepconvn_a(ctx, m["cv1"], y))
+        y = ctx.add(y, h)
+    y2 = qconv_a(ctx, np_["cv2"], x)
+    return qconv_a(ctx, np_["cv3"], ctx.concat([y, y2]))
+
+
+def qelan4_a(ctx, ep, x):
+    y = qconv_a(ctx, ep["cv1"], x)
+    half = _ch(y) // 2
+    s1, s2 = ctx.split(y, (half, half))
+    y2 = qconv_a(ctx, ep["cv2_1"], qrepncsp_a(ctx, ep["cv2_0"], s2))
+    y3 = qconv_a(ctx, ep["cv3_1"], qrepncsp_a(ctx, ep["cv3_0"], y2))
+    return qconv_a(ctx, ep["cv4"], ctx.concat([s1, s2, y2, y3]))
+
+
+def qadown_a(ctx, ap, x):
+    y = ctx.avgpool2_s1(x)
+    half = _ch(y) // 2
+    ya, yb = ctx.split(y, (half, half))
+    y1 = qconv_a(ctx, ap["cv1"], ya, stride=2)
+    y2 = qconv_a(ctx, ap["cv2"], ctx.maxpool(yb, 3, 2, 1))
+    return ctx.concat([y1, y2])
+
+
+def qsppelan_a(ctx, sp, x):
+    y = qconv_a(ctx, sp["cv1"], x)
+    m1 = ctx.maxpool(y, 5)
+    m2 = ctx.maxpool(m1, 5)
+    m3 = ctx.maxpool(m2, 5)
+    return qconv_a(ctx, sp["cv5"], ctx.concat([y, m1, m2, m3]))
+
+
+def qbranch3_grouped(ctx, p, x, groups: int):
+    """The v9 grouped box branch: dense block-diagonal weights (exact;
+    keeps the group-split layout out of the DFL decode — ops/nn.py
+    dense_grouped_weights, same as the float _branch3)."""
+    y = qconv_a(ctx, p["a"], x)
+    wb = nn.dense_grouped_weights(p["b"]["w"], groups)
+    y = ctx.conv(y, wb, p["b"]["b"], act="silu", padding=wb.shape[0] // 2)
+    wc = nn.dense_grouped_weights(p["c"]["w"], groups)
+    return ctx.conv_out(y, wc, p["c"]["b"])
+
+
 def qbranch3(ctx, p, x):
     """Plain a→b conv pair + 1×1 float-out head branch (yolov8's cv2 AND
     cv3 branches — v8 has no dwconv in the cls branch, unlike yolo11)."""

@@ -415,6 +415,115 @@ apply_s2d.factor = 4
 apply_s2d.supports = lambda cfg: True
 
 
+def _qstem(ctx, p0, p1, x4):
+    """Chained s2d stem pair (enter="stem"): the two stride-2 stem convs as
+    int8 chain convs on the 4×4 parity tensor (see B.stem_s2d_a /
+    models/yolo11.apply_chain enter="stem")."""
+    x = ctx.quant_in(x4)
+    w4, p4s = nn.s2d4_conv_weights(p0["w"])
+    x = ctx.conv(x, w4, jnp.tile(p0["b"], 4),
+                 pads=((p4s[0], p4s[1]), (p4s[0], p4s[1])))
+    w2, p2s = nn.s2d_conv_weights(p1["w"])
+    return ctx.conv(x, w2, p1["b"], pads=((p2s[0], p2s[1]), (p2s[0], p2s[1])))
+
+
+def apply_chain(params, x4, cfg: Yolov9Cfg, ctx, f: int = 1):
+    """Int8-resident chain mirror (ops/qchain.py) for the big-C scales —
+    c (PGI full graph) and e (live subgraph). The reference's yolov9 int8
+    engines are its canonical "int8 is the fastest tier" table
+    (yolov9/README.md:42, calibrator at yolov9/src/calibrator.cpp); here
+    every GELAN conv is int8×int8→int32 with a fused dequant+bias+SiLU+
+    requant epilogue and activations cross HBM as int8. No batch fold:
+    C ≥ 256 through the chained region, lanes are already full.
+
+    enter="m3" (default): the stems + the first 160² ELAN stay bf16 (the
+    C ≤ 128 large-grid stages hit XLA's s8 layout oscillation, PERF.md
+    §INT8) and the chain starts at the 80² ADown where C = 256;
+    enter="stem" chains from the s2d stem convs.
+    """
+    import tensorrtx_tpu.models._yolo_qchain as Q
+
+    assert cfg.scale in ("c", "e"), "chained int8 covers the big-C scales"
+    if cfg.scale == "e":
+        if ctx.enter == "m3":
+            y = B.stem_s2d_a(params["m1"], params["m2"], x4)
+            y = ctx.quant_in(_elan4_a(params["e3"], y))
+        else:
+            y = _qstem(ctx, params["m1"], params["m2"], x4)
+            y = Q.qelan4_a(ctx, params["e3"], y)
+        e5 = Q.qelan4_a(ctx, params["e5"], Q.qadown_a(ctx, params["a4"], y))
+        e7 = Q.qelan4_a(ctx, params["e7"], Q.qadown_a(ctx, params["a6"], e5))
+        spp = Q.qsppelan_a(
+            ctx, params["spp29"],
+            Q.qelan4_a(ctx, params["e9"],
+                       Q.qadown_a(ctx, params["a8"], e7)))
+        p4 = Q.qelan4_a(ctx, params["e32"],
+                        ctx.concat([ctx.upsample(spp), e7]))
+        p3 = Q.qelan4_a(ctx, params["e35"],
+                        ctx.concat([ctx.upsample(p4), e5]))
+        feats = [p3, p4, spp]
+    else:
+        if ctx.enter == "m3":
+            x1 = B.stem_s2d_a(params["c1"], params["c2"], x4)
+            x1b = B.stem_s2d_a(params["c26"], params["c27"], x4)
+            y3 = ctx.quant_in(_elan4_a(params["e3"], x1))
+            y28 = ctx.quant_in(_elan4_a(params["e28"], x1b))
+        else:
+            y3 = Q.qelan4_a(ctx, params["e3"],
+                            _qstem(ctx, params["c1"], params["c2"], x4))
+            y28 = Q.qelan4_a(ctx, params["e28"],
+                             _qstem(ctx, params["c26"], params["c27"], x4))
+        e5 = Q.qelan4_a(ctx, params["e5"], Q.qadown_a(ctx, params["a4"], y3))
+        e7 = Q.qelan4_a(ctx, params["e7"], Q.qadown_a(ctx, params["a6"], e5))
+        e9 = Q.qelan4_a(ctx, params["e9"], Q.qadown_a(ctx, params["a8"], e7))
+        # spp10 feeds only the pruned PAN (module docstring) — not built.
+        # CBLinear taps: 1×1 no-act convs, sliced per target level
+        cbl23 = ctx.conv(e5, params["cbl23"]["w"], params["cbl23"]["b"],
+                         act=None)
+        cbl24 = ctx.conv(e7, params["cbl24"]["w"], params["cbl24"]["b"],
+                         act=None)
+        cbl25 = ctx.conv(e9, params["cbl25"]["w"], params["cbl25"]["b"],
+                         act=None)
+        s23, = ctx.split(cbl23, (256,))
+        s24a, s24b = ctx.split(cbl24, (256, 512))
+        s25a, s25b, s25c = ctx.split(cbl25, (256, 512, 512))
+        a29 = Q.qadown_a(ctx, params["a29"], y28)
+        # CBFuse: upsample each tap to the base level and sum
+        f30 = ctx.add_n([a29, s23, ctx.upsample(s24a, 2),
+                         ctx.upsample(s25a, 4)])
+        p3 = Q.qelan4_a(ctx, params["e31"], f30)
+        a32 = Q.qadown_a(ctx, params["a32"], p3)
+        f33 = ctx.add_n([a32, s24b, ctx.upsample(s25b, 2)])
+        p4 = Q.qelan4_a(ctx, params["e34"], f33)
+        a35 = Q.qadown_a(ctx, params["a35"], p4)
+        f36 = ctx.add_n([a35, s25c])
+        p5 = Q.qelan4_a(ctx, params["e37"], f36)
+        feats = [p3, p4, p5]
+    h = params["head"]
+    box_lv = [Q.qbranch3_grouped(ctx, h["cv2"][i], ff, groups=4)
+              for i, ff in enumerate(feats)]
+    cls_lv = []
+    for i, ff in enumerate(feats):
+        r = h["cv3"][i]
+        z = Q.qconv_a(ctx, r["a"], ff)
+        z = Q.qconv_a(ctx, r["b"], z)
+        cls_lv.append(ctx.conv_out(z, r["c"]["w"], r["c"]["b"]))
+    from tensorrtx_tpu.models.yolo11 import _decode_levels
+    ltrb, conf, cls_id = _decode_levels(box_lv, cls_lv, cfg.reg_max)
+    points, strides_flat = D.make_anchor_grid(cfg.input_h, cfg.input_w,
+                                              (8, 16, 32))
+    boxes = D.decode_boxes_ltrb(ltrb, points, strides_flat)
+    if cfg.postprocess == "raw":
+        return {"boxes": boxes, "conf": conf, "cls": cls_id}
+    return select_and_nms(boxes, conf, cls_id, cfg.conf_thresh,
+                          cfg.nms_thresh, cfg.max_det).as_dict()
+
+
+apply_chain.factor = 4
+apply_chain.folds = (1,)
+apply_chain.supports = lambda cfg: cfg.scale in ("c", "e")
+
+
 def _apply_from_x1(params, x1, x1b, cfg: Yolov9Cfg):
     y = _elan4_a(params["e3"], x1)
     y = _adown_a(params["a4"], y)
@@ -470,5 +579,6 @@ register(ModelDef(
     default_cfg=Yolov9Cfg,
     input_shape=lambda cfg: (cfg.input_h, cfg.input_w, 3),
     apply_s2d=apply_s2d,
+    apply_chain=apply_chain,
     doc="YOLOv9-c, GELAN + PGI reversible branch (reference: yolov9/)",
 ))

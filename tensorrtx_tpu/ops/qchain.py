@@ -327,13 +327,44 @@ class ChainCtx:
             (1, stride, stride, 1), [(0, 0), (p, p), (p, p), (0, 0)])
         return QTensor(q, x.s)
 
-    def upsample(self, x):
-        """2× nearest upsample on the payload — exact."""
+    def upsample(self, x, factor: int = 2):
+        """Nearest upsample on the payload — exact."""
         from tensorrtx_tpu.ops import nn as _nn
 
         if self.mode == "tap":
-            return _nn.upsample_nearest(x)
-        return QTensor(_nn.upsample_nearest(x.q), x.s)
+            return _nn.upsample_nearest(x, factor)
+        return QTensor(_nn.upsample_nearest(x.q, factor), x.s)
+
+    def avgpool2_s1(self, x):
+        """k=2 s=1 average pool (the GELAN ADown/AConv prefix,
+        yolov9/src/block.cpp:264). Linear, so it runs on the payload: the
+        int32 window sum is exact and the ÷4 re-rounds onto the SAME scale
+        — ≤0.5 LSB, no new scale slot."""
+        if self.mode == "tap":
+            from tensorrtx_tpu.ops import nn as _nn
+
+            return _nn.avg_pool(x, 2, 1)
+        acc = lax.reduce_window(
+            x.q.astype(jnp.int32), jnp.int32(0), lax.add, (1, 2, 2, 1),
+            (1, 1, 1, 1), [(0, 0), (0, 0), (0, 0), (0, 0)])
+        q = jnp.clip(jnp.round(acc.astype(f32) * 0.25), -127, 127
+                     ).astype(jnp.int8)
+        return QTensor(q, x.s)
+
+    def add_n(self, xs: Sequence):
+        """Sum of N chain tensors (CBFuse, yolov9/src/block.cpp:314-341);
+        one shared scale slot for the fused sum."""
+        if self.mode == "tap":
+            o = xs[0]
+            for x in xs[1:]:
+                o = o + x
+            self._tap(o)
+            return o
+        s_out = self._next_scale()
+        o = xs[0].q.astype(f32) * xs[0].s
+        for x in xs[1:]:
+            o = o + x.q.astype(f32) * x.s
+        return QTensor(_rq(o, s_out), s_out)
 
     def split(self, x, sizes: Sequence[int], axis: int = -1):
         """Static channel split — same scale, free."""

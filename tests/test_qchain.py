@@ -288,3 +288,123 @@ def test_chained_tap_equals_folded_float_path(chained_pair):
     np.testing.assert_allclose(
         np.asarray(out_tap["conf"], np.float32),
         np.asarray(out_fold["conf"], np.float32), atol=2e-2)
+
+
+@pytest.fixture(scope="module")
+def yolov9_chained():
+    """yolov9-c chained tier: the reference's canonical int8 model —
+    yolov9/README.md:42 is the table where int8 beats fp16 at every
+    scale (calibrator: yolov9/src/calibrator.cpp). GELAN/ADown/SPPELAN/
+    CBFuse chain mirrors in models/_yolo_qchain.py."""
+    model = get_model("yolov9")
+    cfg = dataclasses.replace(model.default_cfg(), input_h=128,
+                              input_w=128, postprocess="raw")
+    params = model.build_params(RandomWeightMap(), cfg)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), params)
+    eng = Engine("yolov9", params, cfg, "bf16")
+    ce = ChainedInt8Engine(eng)
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 255, (2, 128, 128, 3)).astype(np.uint8)
+    ce.calibrate([frames])
+    return eng, ce, frames
+
+
+def test_yolov9_chain_slot_alignment(yolov9_chained):
+    _, ce, _ = yolov9_chained
+    assert ce.fold == 1  # folds == (1,): C >= 256 in the chained region
+    assert ce.act_scales is not None
+    assert len(ce.act_scales) == ce.n_scales
+    assert sum(1 for w in ce.wq if w.dtype == jnp.int8) > 80
+
+
+def test_yolov9_chain_tap_is_float_path(yolov9_chained):
+    """Tap mode must match the float apply_s2d graph on the same parity
+    tensor (the chain mirror IS the serving graph in float)."""
+    eng, ce, frames = yolov9_chained
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+    def tap(params, fr, hw):
+        x4 = letterbox_s2d_batch(fr, hw, 128, 128,
+                                 out_dtype=jnp.bfloat16, factor=4)
+        ctx = qchain.ChainCtx("tap")
+        return eng.model.apply_chain(params, x4, eng.cfg, ctx), x4
+
+    hw = jnp.tile(jnp.asarray([[128, 128]], jnp.int32), (2, 1))
+    out_tap, x4 = jax.jit(tap)(eng.params, jnp.asarray(frames), hw)
+    out_ref = jax.jit(
+        lambda p, x: eng.model.apply_s2d(p, x, eng.cfg))(eng.params, x4)
+    np.testing.assert_allclose(
+        np.asarray(out_tap["conf"], np.float32),
+        np.asarray(out_ref["conf"], np.float32), atol=2.5e-2)
+
+
+def test_yolov9_chain_run_tracks_float(yolov9_chained):
+    eng, ce, frames = yolov9_chained
+    out_q = ce(frames)
+    from tensorrtx_tpu.ops.preprocess import letterbox_s2d_batch
+
+    def tap(params, fr, hw):
+        x4 = letterbox_s2d_batch(fr, hw, 128, 128,
+                                 out_dtype=jnp.bfloat16, factor=4)
+        ctx = qchain.ChainCtx("tap")
+        return eng.model.apply_chain(params, x4, eng.cfg, ctx)
+
+    hw = jnp.tile(jnp.asarray([[128, 128]], jnp.int32), (2, 1))
+    out_f = jax.jit(tap)(eng.params, jnp.asarray(frames), hw)
+    conf_q = np.asarray(out_q["conf"], np.float32).ravel()
+    conf_f = np.asarray(out_f["conf"], np.float32).ravel()
+    assert np.all(np.isfinite(conf_q))
+    cc = np.corrcoef(conf_q, conf_f)[0, 1]
+    assert cc > 0.95, cc
+    assert np.abs(conf_q - conf_f).mean() < 0.05
+
+
+def test_yolov9_e_chain_builds_and_runs():
+    """Scale-e live subgraph chain (SPPELAN + PAN upsample concats) builds,
+    calibrates, and serves finite outputs at a tiny size."""
+    model = get_model("yolov9")
+    cfg = dataclasses.replace(model.default_cfg(), scale="e", input_h=64,
+                              input_w=64, postprocess="raw")
+    params = model.build_params(RandomWeightMap(), cfg)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), params)
+    eng = Engine("yolov9", params, cfg, "bf16")
+    ce = ChainedInt8Engine(eng)
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    ce.calibrate([frames])
+    assert len(ce.act_scales) == ce.n_scales
+    out = ce(frames)
+    assert all(np.all(np.isfinite(np.asarray(v, np.float32)))
+               for v in jax.tree.leaves(out))
+
+
+def test_qchain_avgpool2_and_add_n(rng):
+    """avgpool2_s1 runs on the payload at the same scale (<=0.5 LSB);
+    add_n requants an N-way sum to one calibrated slot (CBFuse)."""
+    vals, xs = [], []
+    for i in range(3):
+        v = rng.standard_normal((1, 6, 6, 8)).astype(np.float32) * (i + 1)
+        s = np.float32(np.abs(v).max() / 127.0)
+        xs.append(qchain.QTensor(
+            jnp.clip(jnp.round(jnp.asarray(v) / s), -127, 127
+                     ).astype(jnp.int8), jnp.float32(s)))
+        vals.append(np.asarray(np.asarray(xs[-1].q), np.float32) * s)
+    ref_sum = vals[0] + vals[1] + vals[2]
+    s_sum = np.float32(np.abs(ref_sum).max() / 127.0)
+    ctx = qchain.ChainCtx("run", scales=jnp.asarray([s_sum]), wq=[], sw=[])
+    got = ctx.add_n(xs)
+    out = np.asarray(got.q, np.float32) * np.asarray(got.s)
+    assert np.abs(out - ref_sum).max() <= 1.5 * s_sum
+    from tensorrtx_tpu.ops import nn
+
+    ap = ctx.avgpool2_s1(xs[0])
+    want = nn.avg_pool(jnp.asarray(vals[0]), 2, 1)
+    err = np.abs(np.asarray(ap.q, np.float32) * float(xs[0].s)
+                 - np.asarray(want))
+    assert err.max() <= 0.51 * float(xs[0].s)
